@@ -1,0 +1,97 @@
+"""Wavefront path-tracing integrator: ``lax.scan`` over bounce depth.
+
+The reference integrator is the recursion ``ray_color`` (src/renderer.rs:139-155)
+whose radiance is the product-sum L = E0 + A0*(E1 + A1*(...)). The iterative
+reformulation carried through the scan (exact — see SURVEY.md §3.4):
+
+    carry = (origin, direction, throughput, radiance, alive)
+    per step: radiance += throughput * emitted        (renderer.rs:145)
+              miss     -> radiance += throughput * background; kill
+              absorb   -> kill                        (scatter None, :150)
+              else       throughput *= attenuation; advance ray (:148)
+    depth exhausted with live rays -> contributes nothing (black, :140-142)
+
+Ray time is fixed per sample across all bounces (scattered rays inherit it —
+material.rs ``with_time(ray.time)``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import intersect
+from .materials import scatter_and_emit
+
+# Scale-aware secondary-ray origin offset (f32 self-intersection guard).
+_ORIGIN_EPS_ABS = 1e-4
+_ORIGIN_EPS_REL = 2e-4
+
+
+def trace(scene, origin, direction, time, key, max_depth: int,
+          closest_hit_fn=None):
+    """Trace a flat batch of rays to completion.
+
+    Args:
+      scene: CompiledScene.
+      origin, direction: (R,3); time: (R,).
+      key: PRNG key (folded per bounce internally).
+      max_depth: static bounce budget (reference camera.max_depth).
+      closest_hit_fn: optional override for the closest-hit kernel
+        (e.g. the BVH traversal path); defaults to brute force.
+
+    Returns:
+      radiance (R,3), bounces_used (R,) int32 — number of scene queries each
+      ray performed (for rays/s accounting).
+    """
+    R = origin.shape[0]
+    dtype = origin.dtype
+    hit_fn = closest_hit_fn or intersect.closest_hit
+
+    init = (
+        origin,
+        direction,
+        jnp.ones((R, 3), dtype),  # throughput
+        jnp.zeros((R, 3), dtype),  # radiance
+        jnp.ones((R,), dtype=bool),  # alive
+        jnp.zeros((R,), jnp.int32),  # bounce counter
+    )
+
+    def step(carry, k):
+        o, d, tp, rad, alive, nb = carry
+        k_med, k_mat = jax.random.split(k)
+
+        hit = hit_fn(scene, o, d, time, k_med)
+        nb = nb + alive.astype(jnp.int32)
+
+        miss = alive & ~hit.hit
+        rad = rad + jnp.where(miss[:, None], tp * scene.background, 0.0)
+
+        s = scatter_and_emit(scene, k_mat, d, hit)
+        live_hit = alive & hit.hit
+        rad = rad + jnp.where(live_hit[:, None], tp * s.emitted, 0.0)
+
+        scat = live_hit & s.scattered
+        tp = jnp.where(scat[:, None], tp * s.attenuation, tp)
+
+        # f32 robustness (SURVEY.md §7 "f32 vs f64"): the reference leans on
+        # f64 + t_min=0.001 (renderer.rs:144) to avoid self-intersection; at
+        # f32 and Cornell's 555-unit scale that loses bounces to false
+        # self-hits. Offset the new origin along the geometric normal, signed
+        # by which side the scattered ray leaves (refraction goes through),
+        # with a scale-aware epsilon. Media scatter mid-flight: no offset.
+        side = jnp.sign(jnp.sum(s.direction * hit.normal, axis=-1, keepdims=True))
+        scale = jnp.max(jnp.abs(hit.p), axis=-1, keepdims=True)
+        eps = _ORIGIN_EPS_ABS + _ORIGIN_EPS_REL * scale
+        new_o = hit.p + jnp.where(hit.is_surface[:, None],
+                                  side * hit.normal * eps, 0.0)
+
+        o = jnp.where(scat[:, None], new_o, o)
+        d = jnp.where(scat[:, None], s.direction, d)
+        alive = scat
+        return (o, d, tp, rad, alive, nb), None
+
+    keys = jax.random.split(key, max_depth)
+    (o, d, tp, rad, alive, nb), _ = jax.lax.scan(step, init, keys)
+    # Depth exhausted -> black contribution (renderer.rs:140-142): nothing to add.
+    return rad, nb
