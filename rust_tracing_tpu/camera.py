@@ -143,7 +143,9 @@ def get_rays(cam: CameraConstants, key, pixel_ids):
     )
 
     if cam.defocus_angle <= 0.0:
-        origin = jnp.broadcast_to(cam.center, shape + (3,))
+        # + zeros_like ties the constant center to the batch operands so the
+        # origin carries the same device-varying type under shard_map
+        origin = cam.center + jnp.zeros_like(pixel_sample)
     else:
         p = _rng.random_in_unit_disk(k_disk, shape, dtype)
         origin = (

@@ -1,0 +1,144 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (src/main.rs:40-54): ``--live``, ``--scene``
+(0-8), ``--output``; plus TPU-era extras: spp/size/depth overrides, seed,
+distributed mesh options, checkpoint/resume, and gradient self-check.
+
+Run: ``python -m rust_tracing_tpu.cli --scene 6 --output cornell``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rust_tracing_tpu",
+        description="TPU-native differentiable path tracer "
+                    "(capabilities of rust-tracing)")
+    # the reference's three flags (main.rs:40-54)
+    p.add_argument("-l", "--live", action="store_true",
+                   help="progressive rendering mode: accumulate 1-sample "
+                        "passes, write preview PNGs as they refine")
+    p.add_argument("-s", "--scene", type=int, default=0,
+                   help="scene index (0:random balls, 1:two spheres, 2:earth, "
+                        "3:perlin spheres, 4:quads, 5:simple light, "
+                        "6:cornell box, 7:cornell smoke, 8:final scene)")
+    p.add_argument("-o", "--output", type=str, default="output",
+                   help="output file name (without .png)")
+    # TPU-era extras
+    p.add_argument("--spp", type=int, default=None, help="override samples/pixel")
+    p.add_argument("--width", type=int, default=None, help="override image width")
+    p.add_argument("--max-depth", type=int, default=None, help="override bounce depth")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--scene-seed", type=int, default=0,
+                   help="seed for randomized scene content (scenes 0 and 8)")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard pixels/samples over all visible devices")
+    p.add_argument("--sample-parallelism", type=int, default=1,
+                   help="mesh chips cooperating on the spp axis")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="progressive checkpoint file (.npz) to save/resume")
+    p.add_argument("--checkpoint-every", type=int, default=32,
+                   help="samples between checkpoint writes in --live mode")
+    p.add_argument("--preview-every", type=int, default=8,
+                   help="samples between preview PNG writes in --live mode")
+    p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(f"Args: {args}")
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import Camera, compile_scene, render
+    from .models import builders
+    from .renderer import progressive_init, progressive_step
+    from .utils import checkpoint as ckpt
+    from .utils.image_io import write_png
+    from .utils.progress import ProgressBar
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    if dtype is jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    t0 = time.perf_counter()
+    b, settings = builders.build_scene(args.scene, seed=args.scene_seed)
+    overrides = {}
+    if args.width:
+        overrides["image_width"] = args.width
+    if args.spp:
+        overrides["samples_per_pixel"] = args.spp
+    if args.max_depth:
+        overrides["max_depth"] = args.max_depth
+    if overrides:
+        settings = dataclasses.replace(settings, **overrides)
+    scene = compile_scene(b, dtype=dtype)
+    camera = Camera.create(settings)
+    print(f"Scene compile: {time.perf_counter() - t0:.2f}s "
+          f"({b.num_spheres} spheres, {b.num_quads} quads, {b.num_media} media; "
+          f"{camera.image_width}x{camera.image_height} @ "
+          f"{camera.samples_per_pixel}spp depth {camera.max_depth})")
+
+    out_png = f"{args.output}.png"
+
+    if args.live:
+        state = None
+        if args.checkpoint:
+            try:
+                state = ckpt.load(args.checkpoint)
+                print(f"Resumed {args.checkpoint} at {state.num_samples} spp")
+            except (FileNotFoundError, OSError):
+                pass
+        if state is None:
+            state = progressive_init(camera, seed=args.seed)
+        t0 = time.perf_counter()
+        while state.num_samples < camera.samples_per_pixel:
+            state = progressive_step(scene, camera, state, samples=1,
+                                     dtype=dtype)
+            n = state.num_samples
+            print(f"\rspp {n}/{camera.samples_per_pixel} "
+                  f"({time.perf_counter() - t0:.1f}s)", end="", file=sys.stderr)
+            if n % args.preview_every == 0 or n == camera.samples_per_pixel:
+                write_png(out_png, state.accum)
+            if args.checkpoint and n % args.checkpoint_every == 0:
+                ckpt.save(args.checkpoint, state)
+        print(file=sys.stderr)
+        if args.checkpoint:
+            ckpt.save(args.checkpoint, state)
+        write_png(out_png, state.accum)
+        print(f"Wrote {out_png} at {state.num_samples} spp")
+        return 0
+
+    if args.distributed:
+        from .parallel import mesh as mesh_mod
+        from .parallel.render_dist import render_distributed
+
+        mesh = mesh_mod.make_mesh(sample_parallelism=args.sample_parallelism)
+        print(f"Mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+        t0 = time.perf_counter()
+        image = render_distributed(scene, camera, mesh, seed=args.seed,
+                                   dtype=dtype)
+        print(f"Render time: {time.perf_counter() - t0:.2f}s")
+    else:
+        bar = ProgressBar(camera.image_width * camera.image_height)
+        image, stats = render(scene, camera, seed=args.seed, dtype=dtype,
+                              progress=bar)
+        print(f"Render time: {stats.seconds:.2f}s "
+              f"({stats.rays_per_sec / 1e6:.2f} Mrays/s)")
+
+    t0 = time.perf_counter()
+    write_png(out_png, image)
+    print(f"PNG encoding: {time.perf_counter() - t0:.2f}s -> {out_png}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

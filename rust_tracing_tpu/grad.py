@@ -1,0 +1,138 @@
+"""Differentiable rendering: gradients of radiance w.r.t. scene parameters.
+
+The reference renderer is not differentiable at all; this is the framework's
+north-star extension (BASELINE.json): reverse-mode gradients of pixel radiance
+w.r.t. sphere centers/radii, albedos (solid/checker/metal colors), texture
+parameters, media densities — every float leaf of the CompiledScene pytree.
+
+Approach (SURVEY.md §7 'gradients through discrete events'): RNG is fixed per
+(seed, pixel, sample, bounce), so the Monte-Carlo estimator is a deterministic
+function of the scene; discrete decisions (closest-hit winner, material
+branch, Schlick coin, medium scatter-or-not) are piecewise-constant in the
+parameters and autodiff flows through the *continuous* quantities (t, hit
+points, normals, attenuations) within each region. This matches finite
+differences of the same fixed-RNG estimator everywhere except on the
+measure-zero decision boundaries; the silhouette boundary term is not
+estimated (documented limitation, matching the contract's FD-check metric).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera, CameraConstants, get_rays
+from .ops import integrator
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "max_depth", "hit_fn"))
+def radiance_mean(scene, cam: CameraConstants, pixel_ids, key, spp: int,
+                  max_depth: int, hit_fn=None):
+    """Mean radiance per pixel over ``spp`` fixed-RNG samples, (C,3).
+
+    Differentiable w.r.t. ``scene``; each bounce is rematerialized in the
+    backward pass so memory stays O(rays), not O(rays x depth x prims).
+    """
+    C = pixel_ids.shape[0]
+    dtype = cam.center.dtype
+
+    def body(s, acc):
+        k = jax.random.fold_in(key, s)
+        k_cam, k_trace = jax.random.split(k)
+        o, d, t = get_rays(cam, k_cam, pixel_ids)
+        rad, _ = integrator.trace(scene, o, d, t, k_trace, max_depth,
+                                  closest_hit_fn=hit_fn, remat=True)
+        return acc + rad
+
+    acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((C, 3), dtype))
+    return acc / spp
+
+
+def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
+                  spp: Optional[int] = None, max_depth: Optional[int] = None,
+                  pixel_ids=None, hit_fn=None, dtype=jnp.float32):
+    """(loss, d loss / d scene) for ``loss_fn(image_flat (C,3), pixel_ids)``.
+
+    ``pixel_ids`` defaults to the full image. The returned gradient is a
+    CompiledScene pytree (int/bool leaves get zero cotangents).
+    """
+    spp = spp or camera.samples_per_pixel
+    max_depth = max_depth or camera.max_depth
+    cam = camera.constants(dtype)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(camera.image_width * camera.image_height,
+                               dtype=jnp.int32)
+    key = jax.random.PRNGKey(seed)
+
+    # Differentiate w.r.t. the float leaves only; int/bool leaves (type codes,
+    # validity masks) are structural and get zero-gradient placeholders.
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    is_diff = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]
+    diff = [l for l, d in zip(leaves, is_diff) if d]
+    frozen = [l for l, d in zip(leaves, is_diff) if not d]
+
+    def rebuild(diff_leaves):
+        it_d, it_f = iter(diff_leaves), iter(frozen)
+        merged = [next(it_d) if d else next(it_f) for d in is_diff]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    def scalar_loss(diff_leaves):
+        img = radiance_mean(rebuild(diff_leaves), cam, pixel_ids, key, spp,
+                            max_depth, hit_fn)
+        return loss_fn(img, pixel_ids)
+
+    loss, dg = jax.value_and_grad(scalar_loss)(diff)
+    it_g = iter(dg)
+    grad_leaves = [next(it_g) if d else jnp.zeros_like(l)
+                   for l, d in zip(leaves, is_diff)]
+    return loss, jax.tree_util.tree_unflatten(treedef, grad_leaves)
+
+
+def l2_to_target(target_flat):
+    """Convenience loss: mean squared error to a target image (C,3)."""
+    t = jnp.asarray(target_flat)
+
+    def loss(img, pixel_ids):
+        return jnp.mean((img - t) ** 2)
+
+    return loss
+
+
+def fit_scene(scene, camera: Camera, target_image: np.ndarray, steps: int,
+              learning_rates: dict, seed: int = 0, spp: int = 16,
+              max_depth: int = 4, log_every: int = 0,
+              resample: bool = True):
+    """Tiny inverse-rendering loop: SGD on selected scene leaves.
+
+    ``learning_rates`` maps CompiledScene field names to step sizes; other
+    leaves stay frozen. ``resample=False`` keeps the RNG fixed across steps
+    (deterministic objective — useful for exact-recovery tests).
+    Returns (scene, losses).
+    """
+    target = jnp.asarray(target_image.reshape(-1, 3), scene.background.dtype)
+    loss_fn = l2_to_target(target)
+    losses = []
+    for step in range(steps):
+        loss, g = loss_and_grad(scene, camera, loss_fn,
+                                seed=seed + step if resample else seed,
+                                spp=spp, max_depth=max_depth,
+                                dtype=scene.background.dtype)
+        updates = {}
+        for name, lr in learning_rates.items():
+            updates[name] = getattr(scene, name) - lr * getattr(g, name)
+        scene = scene.replace(**updates) if hasattr(scene, "replace") else \
+            _replace_dataclass(scene, updates)
+        losses.append(float(loss))
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss {loss:.6f}")
+    return scene, losses
+
+
+def _replace_dataclass(obj, updates):
+    import dataclasses
+
+    return dataclasses.replace(obj, **updates)

@@ -29,7 +29,7 @@ _ORIGIN_EPS_REL = 2e-4
 
 
 def trace(scene, origin, direction, time, key, max_depth: int,
-          closest_hit_fn=None):
+          closest_hit_fn=None, remat: bool = False):
     """Trace a flat batch of rays to completion.
 
     Args:
@@ -39,6 +39,9 @@ def trace(scene, origin, direction, time, key, max_depth: int,
       max_depth: static bounce budget (reference camera.max_depth).
       closest_hit_fn: optional override for the closest-hit kernel
         (e.g. the BVH traversal path); defaults to brute force.
+      remat: rematerialize each bounce in reverse-mode autodiff — backward
+        recomputes the (rays x primitives) intersection instead of storing it,
+        trading FLOPs for HBM (jax.checkpoint over the scan step).
 
     Returns:
       radiance (R,3), bounces_used (R,) int32 — number of scene queries each
@@ -48,13 +51,15 @@ def trace(scene, origin, direction, time, key, max_depth: int,
     dtype = origin.dtype
     hit_fn = closest_hit_fn or intersect.closest_hit
 
+    # init values derived from the inputs (ones_like/zeros_like) so their
+    # device-varying type matches the step outputs under shard_map
     init = (
         origin,
         direction,
-        jnp.ones((R, 3), dtype),  # throughput
-        jnp.zeros((R, 3), dtype),  # radiance
-        jnp.ones((R,), dtype=bool),  # alive
-        jnp.zeros((R,), jnp.int32),  # bounce counter
+        jnp.ones_like(origin),  # throughput
+        jnp.zeros_like(origin),  # radiance
+        time < jnp.inf,  # alive (all True)
+        jnp.zeros_like(time, dtype=jnp.int32),  # bounce counter
     )
 
     def step(carry, k):
@@ -92,6 +97,7 @@ def trace(scene, origin, direction, time, key, max_depth: int,
         return (o, d, tp, rad, alive, nb), None
 
     keys = jax.random.split(key, max_depth)
-    (o, d, tp, rad, alive, nb), _ = jax.lax.scan(step, init, keys)
+    step_fn = jax.checkpoint(step) if remat else step
+    (o, d, tp, rad, alive, nb), _ = jax.lax.scan(step_fn, init, keys)
     # Depth exhausted -> black contribution (renderer.rs:140-142): nothing to add.
     return rad, nb

@@ -55,6 +55,13 @@ def _safe_div(a, b, eps=1e-30):
     return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
 
 
+def _safe_sqrt(x, valid):
+    """sqrt with NaN-free gradients: lanes where ``valid`` is False compute
+    sqrt(1) so reverse-mode never sees d/dx sqrt(0) = inf (the classic
+    where/sqrt autodiff trap — the masked branch still backpropagates)."""
+    return jnp.sqrt(jnp.where(valid, x, 1.0))
+
+
 def sphere_closest(scene, origin, direction, time, t_max):
     """Closest valid sphere hit per ray.
 
@@ -70,7 +77,7 @@ def sphere_closest(scene, origin, direction, time, t_max):
     half_b = jnp.sum(oc * direction[:, None, :], axis=-1)  # (R,S)
     c = la.length_squared(oc) - (scene.sph_radius**2)[None, :]
     disc = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sqrtd = _safe_sqrt(disc, disc > 0.0)
 
     root1 = _safe_div(-half_b - sqrtd, a)
     root2 = _safe_div(-half_b + sqrtd, a)
@@ -141,7 +148,7 @@ def medium_candidates(scene, origin, direction, time, t_surf, key):
     half_b = jnp.sum(oc * direction[:, None, :], axis=-1)
     c = la.length_squared(oc) - (scene.med_sph_radius**2)[None, :]
     disc = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sqrtd = _safe_sqrt(disc, disc > 0.0)
     s_entry = _safe_div(-half_b - sqrtd, a)
     s_exit = _safe_div(-half_b + sqrtd, a)
     s_ok = disc > 0.0
@@ -184,9 +191,24 @@ def medium_candidates(scene, origin, direction, time, t_surf, key):
 
 
 def _sphere_uv(n):
-    """reference: src/sphere.rs:48-52."""
-    theta = jnp.arccos(jnp.clip(-n[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(-n[..., 2], n[..., 0]) + jnp.pi
+    """reference: src/sphere.rs:48-52. Pole/axis-degenerate lanes are
+    where-guarded so gradients stay finite (arccos'(+-1) and atan2(0,0))."""
+    y = jnp.clip(-n[..., 1], -1.0, 1.0)
+    interior = jnp.abs(y) < 1.0 - 1e-7
+    theta = jnp.where(
+        interior,
+        jnp.arccos(jnp.where(interior, y, 0.0)),
+        jnp.where(y > 0, 0.0, jnp.pi),
+    )
+    xz_deg = (jnp.abs(n[..., 0]) + jnp.abs(n[..., 2])) < 1e-12
+    phi = jnp.where(
+        xz_deg,
+        0.0,
+        jnp.arctan2(
+            jnp.where(xz_deg, 0.0, -n[..., 2]),
+            jnp.where(xz_deg, 1.0, n[..., 0]),
+        ),
+    ) + jnp.pi
     return phi / (2.0 * jnp.pi), theta / jnp.pi
 
 

@@ -58,7 +58,10 @@ def refract(uv, n, etai_over_etat):
     if eta.ndim:  # per-ray [...] -> broadcast over the component axis
         eta = eta[..., None]
     r_out_perp = eta * (uv + cos_theta[..., None] * n)
-    par = -jnp.sqrt(jnp.abs(1.0 - length_squared(r_out_perp)))
+    # grad-safe sqrt: guard the TIR boundary where 1 - |perp|^2 touches 0
+    s = jnp.abs(1.0 - length_squared(r_out_perp))
+    ok = s > 1e-20
+    par = -jnp.sqrt(jnp.where(ok, s, 1.0)) * ok
     return r_out_perp + par[..., None] * n
 
 

@@ -69,7 +69,8 @@ def scatter_and_emit(scene, key, d_in, hit) -> Scatter:
     ir = scene.mat_ir[hit.mat_id]
     ratio = jnp.where(hit.front_face, 1.0 / ir, ir)
     cos_theta = jnp.minimum(la.dot(-d_unit, n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin_sq = 1.0 - cos_theta * cos_theta
+    sin_theta = jnp.sqrt(jnp.where(sin_sq > 0, sin_sq, 1.0)) * (sin_sq > 0)
     cannot_refract = ratio * sin_theta > 1.0
     r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2  # Schlick (material.rs:74-78)
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5

@@ -1,0 +1,153 @@
+"""Distributed render + differentiable train step over a device mesh.
+
+shard_map SPMD: each chip traces its (pixel-shard x sample-chunk) block with
+the exact same single-chip kernels, then XLA collectives assemble the image
+(psum over the sample axis) and all-reduce parameter gradients (psum over both
+axes) on ICI. Scene tables ride along replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..camera import Camera, CameraConstants, get_rays
+from ..ops import integrator
+from . import mesh as mesh_mod
+from .mesh import RAYS_AXIS, SAMPLE_AXIS
+
+
+def _local_radiance_sum(scene, cam, pixel_ids, key, spp_local, max_depth,
+                        hit_fn=None):
+    """Sum of ``spp_local`` radiance samples for this chip's pixel shard."""
+    def sample(s):
+        k = jax.random.fold_in(key, s)
+        k_cam, k_trace = jax.random.split(k)
+        o, d, t = get_rays(cam, k_cam, pixel_ids)
+        rad, _ = integrator.trace(scene, o, d, t, k_trace, max_depth,
+                                  closest_hit_fn=hit_fn, remat=True)
+        return rad
+
+    # first sample seeds the accumulator so its device-varying type under
+    # shard_map matches the loop body's output
+    acc0 = sample(0)
+    return jax.lax.fori_loop(1, spp_local, lambda s, a: a + sample(s), acc0)
+
+
+def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None):
+    """Build a jitted SPMD render fn: (scene, cam, pixel_ids, key) -> (P,3).
+
+    ``pixel_ids`` must be padded to tile the rays axis (mesh_mod.pad_pixels).
+    spp is split across the sample axis; partial sums psum'd back so every
+    rays-shard returns the full-spp mean for its pixels.
+    """
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if spp % n_sample != 0:
+        raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
+    spp_local = spp // n_sample
+
+    def shard_fn(scene, cam, pixel_ids, key):
+        ray_idx = jax.lax.axis_index(RAYS_AXIS)
+        smp_idx = jax.lax.axis_index(SAMPLE_AXIS)
+        k = jax.random.fold_in(jax.random.fold_in(key, ray_idx), smp_idx)
+        acc = _local_radiance_sum(scene, cam, pixel_ids, k, spp_local,
+                                  max_depth, hit_fn)
+        acc = jax.lax.psum(acc, SAMPLE_AXIS)
+        return acc / spp
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(RAYS_AXIS), P()),
+        out_specs=P(RAYS_AXIS),
+    )
+    return jax.jit(fn)
+
+
+def render_distributed(scene, camera: Camera, mesh=None, seed: int = 0,
+                       spp: Optional[int] = None,
+                       max_depth: Optional[int] = None, hit_fn=None,
+                       dtype=jnp.float32) -> np.ndarray:
+    """Full-image distributed render -> (H,W,3) linear float."""
+    mesh = mesh or mesh_mod.make_mesh()
+    spp = spp or camera.samples_per_pixel
+    max_depth = max_depth or camera.max_depth
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if spp % n_sample:
+        spp = spp + (n_sample - spp % n_sample)
+    w, h = camera.image_width, camera.image_height
+    n_pixels = w * h
+    n_padded = mesh_mod.pad_pixels(n_pixels, mesh)
+    pixel_ids = jnp.minimum(jnp.arange(n_padded, dtype=jnp.int32), n_pixels - 1)
+
+    render_fn = make_distributed_renderer(mesh, spp, max_depth, hit_fn)
+    img = render_fn(scene, camera.constants(dtype), pixel_ids,
+                    jax.random.PRNGKey(seed))
+    return np.asarray(img)[:n_pixels].reshape(h, w, 3)
+
+
+def make_distributed_train_step(mesh, spp: int, max_depth: int,
+                                learning_rate: float = 1.0, hit_fn=None,
+                                trainable: Tuple[str, ...] = ("tex_rgb",
+                                                             "mat_albedo")):
+    """Build a jitted SPMD training step for inverse rendering:
+
+        (scene, cam, pixel_ids, target (P,3), key) -> (scene', loss)
+
+    Forward: pixel shards x sample chunks as in the renderer. Backward:
+    per-chip gradients of the replicated scene are psum'd over BOTH mesh axes
+    (the ICI all-reduce of SURVEY.md §5.8), then a plain SGD step updates the
+    replicated scene. Only the ``trainable`` CompiledScene fields move; all
+    other leaves (geometry, tables, structure) stay frozen.
+    """
+    import dataclasses as _dc
+
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if spp % n_sample:
+        raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
+    spp_local = spp // n_sample
+
+    def shard_fn(scene, cam, pixel_ids, target, key):
+        ray_idx = jax.lax.axis_index(RAYS_AXIS)
+        smp_idx = jax.lax.axis_index(SAMPLE_AXIS)
+        k = jax.random.fold_in(jax.random.fold_in(key, ray_idx), smp_idx)
+
+        names = [f.name for f in _dc.fields(scene)
+                 if not f.metadata.get("static", False)]
+        leaves = [getattr(scene, n) for n in names]
+        is_diff = [n in trainable and jnp.issubdtype(l.dtype, jnp.floating)
+                   for n, l in zip(names, leaves)]
+        diff = [l for l, dd in zip(leaves, is_diff) if dd]
+
+        def rebuild(diff_leaves):
+            it_d = iter(diff_leaves)
+            updates = {n: next(it_d) for n, dd in zip(names, is_diff) if dd}
+            return _dc.replace(scene, **updates)
+
+        def local_loss(diff_leaves):
+            acc = _local_radiance_sum(rebuild(diff_leaves), cam, pixel_ids, k,
+                                      spp_local, max_depth, hit_fn)
+            # differentiable collective: assemble the full-spp mean across the
+            # sample axis INSIDE the loss so the SSE is exact (not a sum of
+            # per-chunk SSEs); autodiff transposes the psum correctly.
+            mean = jax.lax.psum(acc, SAMPLE_AXIS) / spp
+            return jnp.sum((mean - target) ** 2)
+
+        loss, g = jax.value_and_grad(local_loss)(diff)
+        # loss is identical across the sample axis (post-psum); total SSE needs
+        # reduction over pixel shards only. Gradients are partial in both axes.
+        loss = jax.lax.psum(loss, RAYS_AXIS)
+        g = jax.lax.psum(g, (RAYS_AXIS, SAMPLE_AXIS))
+        new_diff = [p - learning_rate * gp for p, gp in zip(diff, g)]
+        return rebuild(new_diff), loss
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(RAYS_AXIS), P(RAYS_AXIS), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)

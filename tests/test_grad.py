@@ -1,0 +1,128 @@
+"""Differentiability gate: autodiff pixel gradients vs finite differences
+(BASELINE.json metric; SURVEY.md §7 build plan stage 4)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rust_tracing_tpu import Camera, RenderSettings, SceneBuilder, compile_scene
+from rust_tracing_tpu import grad as grad_mod
+
+
+def _mini_cornell():
+    """Small closed-ish box with a light and a test sphere.
+
+    NB with fixed RNG and *solid* albedos everywhere, radiance is piecewise
+    constant in pure geometry parameters (throughput is a product of
+    constants), so interior gradients w.r.t. centers/radii would be honestly
+    zero. Spatially-varying textures (checker floor, marble wall) open the
+    continuous channel geometry -> hit point -> texture value that makes
+    geometry gradients nonzero — and finite differences agree.
+    """
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    marble = b.lambertian(b.noise_texture(2.0))
+    checker = b.lambertian(b.checker_texture(0.5, (0.8, 0.8, 0.2), (0.1, 0.1, 0.4)))
+    red = b.lambertian((0.65, 0.05, 0.05))
+    b.add_quad((-2, -2, 4), (4, 0, 0), (0, 4, 0), marble)     # back wall
+    b.add_quad((-2, -2, 0), (0, 0, 4), (0, 4, 0), red)        # left wall
+    b.add_quad((-2, -2, 0), (4, 0, 0), (0, 0, 4), checker)    # floor
+    b.add_quad((-1, 1.9, 1), (2, 0, 0), (0, 0, 2), b.diffuse_light((6, 6, 6)))
+    b.add_sphere((0.3, -1.2, 2.0), 0.8, b.lambertian(b.noise_texture(3.0)))
+    settings = RenderSettings(
+        aspect_ratio=1.0, image_width=24, samples_per_pixel=32, max_depth=4,
+        vfov=60.0, look_from=(0.0, 0.0, -3.0), look_at=(0.0, 0.0, 2.0),
+        background=(0.0, 0.0, 0.0),
+    )
+    return b, settings
+
+
+def _loss_for(scene, camera, seed=3):
+    loss_fn = lambda img, pid: jnp.mean(img)
+    return grad_mod.loss_and_grad(scene, camera, loss_fn, seed=seed,
+                                  dtype=jnp.float64)
+
+
+def _fd(scene, camera, field, index, eps, seed=3):
+    arr = np.asarray(getattr(scene, field)).copy()
+    arr_p, arr_m = arr.copy(), arr.copy()
+    arr_p[index] += eps
+    arr_m[index] -= eps
+    lp, _ = _loss_for(dataclasses.replace(scene, **{field: jnp.asarray(arr_p)}),
+                      camera, seed)
+    lm, _ = _loss_for(dataclasses.replace(scene, **{field: jnp.asarray(arr_m)}),
+                      camera, seed)
+    return (float(lp) - float(lm)) / (2 * eps)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b, settings = _mini_cornell()
+    scene = compile_scene(b, dtype=jnp.float64)
+    camera = Camera.create(settings)
+    loss, g = _loss_for(scene, camera)
+    return scene, camera, float(loss), g
+
+
+def test_grads_finite_and_nonzero(setup):
+    scene, camera, loss, g = setup
+    assert np.isfinite(loss) and loss > 0
+    for field in ("sph_center", "sph_radius", "tex_rgb", "quad_q",
+                  "mat_albedo", "mat_fuzz", "med_neg_inv_density"):
+        arr = np.asarray(getattr(g, field))
+        assert np.isfinite(arr).all(), f"non-finite grad in {field}"
+    # the visible sphere's parameters must actually receive gradient
+    assert np.abs(np.asarray(g.sph_center)[0]).max() > 0
+    assert abs(np.asarray(g.sph_radius)[0]) > 0
+    assert np.abs(np.asarray(g.tex_rgb)).max() > 0
+
+
+@pytest.mark.parametrize("field,index,eps", [
+    ("sph_radius", (0,), 1e-4),
+    ("sph_center", (0, 0), 1e-4),
+    ("sph_center", (0, 2), 1e-4),
+    ("tex_rgb", (1, 0), 1e-3),        # checker even color red channel
+    ("tex_rgb", (5, 0), 1e-3),        # light red channel
+    ("tex_noise_scale", (0,), 1e-4),  # marble frequency (texture param)
+])
+def test_autodiff_matches_finite_differences(setup, field, index, eps):
+    scene, camera, _, g = setup
+    fd = _fd(scene, camera, field, index, eps)
+    ad = float(np.asarray(getattr(g, field))[index])
+    # fixed RNG makes the estimator deterministic; interior contributions
+    # match FD tightly (silhouette/boundary terms are the documented gap)
+    assert np.isfinite(fd)
+    tol = max(0.08 * max(abs(fd), abs(ad)), 1e-7)
+    assert abs(fd - ad) <= tol, f"{field}{index}: fd={fd:.3e} ad={ad:.3e}"
+
+
+def test_fit_recovers_albedo():
+    # inverse rendering: perturb the sphere albedo, fit it back to the target
+    b, settings = _mini_cornell()
+    settings = dataclasses.replace(settings, image_width=16, samples_per_pixel=8)
+    scene0 = compile_scene(b, dtype=jnp.float64)
+    camera = Camera.create(settings)
+    cam = camera.constants(jnp.float64)
+    pid = jnp.arange(16 * 16, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+    # same (seed, spp) as the fit below -> identical estimator, zero loss at truth
+    target = grad_mod.radiance_mean(scene0, cam, pid, key, 8, 4)
+
+    wrong = np.asarray(scene0.tex_rgb).copy()
+    true_albedo = wrong[1].copy()  # checker even color
+    wrong[1] = [0.2, 0.2, 0.9]
+    scene = dataclasses.replace(scene0, tex_rgb=jnp.asarray(wrong))
+
+    scene, losses = grad_mod.fit_scene(
+        scene, camera, np.asarray(target).reshape(16, 16, 3), steps=40,
+        learning_rates={"tex_rgb": 6.0}, spp=8, max_depth=4, seed=0,
+        resample=False)
+    # gradient correctness is covered by the FD tests; this demonstrates the
+    # inverse-rendering loop actually optimizes: loss halves and the albedo
+    # moves most of the way back to the truth
+    assert losses[-1] < losses[0] * 0.5
+    got = np.asarray(scene.tex_rgb)[1]
+    err0 = np.abs(np.array([0.2, 0.2, 0.9]) - true_albedo).max()
+    assert np.abs(got - true_albedo).max() < 0.5 * err0
