@@ -62,6 +62,10 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
+    if hit_fn is None:
+        from .ops.bvh_traverse import auto_closest_hit
+
+        hit_fn = auto_closest_hit(scene)
     cam = camera.constants(dtype)
     if pixel_ids is None:
         pixel_ids = jnp.arange(camera.image_width * camera.image_height,

@@ -213,7 +213,7 @@ def _sphere_uv(n):
 
 
 def closest_hit(scene, origin, direction, time, key) -> Hit:
-    """Full closest-hit query: spheres + quads + constant media.
+    """Full closest-hit query: spheres + quads + constant media, brute force.
 
     Equivalent to the reference's top-level ``world.hit(r, (0.001, inf))``
     (renderer.rs:144) over a HittableList/BVH that may contain ConstantMedium
@@ -225,7 +225,16 @@ def closest_hit(scene, origin, direction, time, key) -> Hit:
 
     t_sph, i_sph = sphere_closest(scene, origin, direction, time, t_max0)
     t_quad, i_quad, alpha, beta = quad_closest(scene, origin, direction, time, t_max0)
+    return assemble_hit(scene, origin, direction, time, key,
+                        t_sph, i_sph, t_quad, i_quad, alpha, beta)
 
+
+def assemble_hit(scene, origin, direction, time, key,
+                 t_sph, i_sph, t_quad, i_quad, alpha, beta) -> Hit:
+    """Combine per-type winners with media sampling into a full Hit record.
+
+    Shared tail of the brute-force and BVH closest-hit paths.
+    """
     t_surf = jnp.minimum(t_sph, t_quad)
     t_med, med_mat = medium_candidates(scene, origin, direction, time, t_surf, key)
 

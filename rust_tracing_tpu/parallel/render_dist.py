@@ -76,6 +76,10 @@ def render_distributed(scene, camera: Camera, mesh=None, seed: int = 0,
     mesh = mesh or mesh_mod.make_mesh()
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
+    if hit_fn is None:
+        from ..ops.bvh_traverse import auto_closest_hit
+
+        hit_fn = auto_closest_hit(scene)
     n_sample = mesh.shape[SAMPLE_AXIS]
     if spp % n_sample:
         spp = spp + (n_sample - spp % n_sample)

@@ -75,6 +75,10 @@ def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
+    if hit_fn is None:
+        from .ops.bvh_traverse import auto_closest_hit
+
+        hit_fn = auto_closest_hit(scene)
     w, h = camera.image_width, camera.image_height
     cam = camera.constants(dtype)
     n_pixels = w * h
