@@ -68,9 +68,54 @@ def primitive_boxes(builder) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.nda
             np.asarray(types, np.int32), np.asarray(idxs, np.int32))
 
 
+def build_native(box_min, box_max, prim_type, prim_idx, seed=0):
+    """Native C++ builder (runtime/bvh_builder.cpp); None if unavailable."""
+    import ctypes
+
+    from ..runtime import load_library
+
+    lib = load_library("bvh_builder")
+    if lib is None or len(prim_idx) == 0:
+        return None
+    n = len(prim_idx)
+    total = 2 * n - 1
+    node_min = np.empty((total, 3), np.float64)
+    node_max = np.empty((total, 3), np.float64)
+    skip = np.empty(total, np.int32)
+    out_type = np.empty(total, np.int32)
+    out_idx = np.empty(total, np.int32)
+    bmin = np.ascontiguousarray(box_min, np.float64)
+    bmax = np.ascontiguousarray(box_max, np.float64)
+    pt = np.ascontiguousarray(prim_type, np.int32)
+    pi = np.ascontiguousarray(prim_idx, np.int32)
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_ip = ctypes.POINTER(ctypes.c_int32)
+    got = lib.rt_build_bvh(
+        ctypes.c_int32(n),
+        bmin.ctypes.data_as(c_dp), bmax.ctypes.data_as(c_dp),
+        pt.ctypes.data_as(c_ip), pi.ctypes.data_as(c_ip),
+        ctypes.c_uint64(seed),
+        node_min.ctypes.data_as(c_dp), node_max.ctypes.data_as(c_dp),
+        skip.ctypes.data_as(c_ip), out_type.ctypes.data_as(c_ip),
+        out_idx.ctypes.data_as(c_ip))
+    if got != total:
+        return None
+    return FlatBVH(node_min=node_min, node_max=node_max, skip=skip,
+                   prim_type=out_type, prim_idx=out_idx)
+
+
 def build(box_min: np.ndarray, box_max: np.ndarray, prim_type: np.ndarray,
-          prim_idx: np.ndarray, seed: int = 0) -> FlatBVH:
-    """Flatten a median-split BVH over the given primitive boxes."""
+          prim_idx: np.ndarray, seed: int = 0, native: bool = True) -> FlatBVH:
+    """Flatten a median-split BVH over the given primitive boxes.
+
+    Prefers the native C++ builder; falls back to the numpy reference
+    implementation below (identical layout contract; split-axis RNG streams
+    differ so trees differ per seed, hit results don't).
+    """
+    if native:
+        flat = build_native(box_min, box_max, prim_type, prim_idx, seed)
+        if flat is not None:
+            return flat
     n = len(prim_idx)
     rng = np.random.default_rng(seed)
 

@@ -61,6 +61,32 @@ class TestFlatten:
         assert hi[0][2] - lo[0][2] == pytest.approx(1e-4)  # quad.rs:42
 
 
+class TestNativeBuilder:
+    def test_native_matches_contract_and_python_hits(self, rng):
+        n = 500
+        lo = rng.uniform(-50, 50, (n, 3))
+        hi = lo + rng.uniform(0.1, 4, (n, 3))
+        pt = (rng.random(n) < 0.5).astype(np.int32)
+        pi = np.arange(n, dtype=np.int32)
+        nat = bvh_mod.build_native(lo, hi, pt, pi, seed=7)
+        if nat is None:
+            pytest.skip("native toolchain unavailable")
+        py = bvh_mod.build(lo, hi, pt, pi, seed=7, native=False)
+        for f in (nat, py):
+            N = len(f.skip)
+            leaves = f.prim_type >= 0
+            assert leaves.sum() == n
+            assert (f.skip > np.arange(N)).all() and (f.skip <= N).all()
+            assert set(f.prim_idx[leaves]) == set(range(n))
+            # root bounds everything
+            assert (f.node_min[0] <= lo.min(0) + 1e-12).all()
+            assert (f.node_max[0] >= hi.max(0) - 1e-12).all()
+        # determinism per seed
+        nat2 = bvh_mod.build_native(lo, hi, pt, pi, seed=7)
+        np.testing.assert_array_equal(nat.skip, nat2.skip)
+        np.testing.assert_array_equal(nat.prim_idx, nat2.prim_idx)
+
+
 class TestTraversal:
     def test_equals_brute_force(self, rng):
         b = _random_builder(rng)
@@ -103,7 +129,9 @@ class TestTraversal:
         b, settings = builders.final_scene()
         settings = dataclasses.replace(settings, image_width=24,
                                        samples_per_pixel=2, max_depth=4)
-        scene = compile_scene(b)
+        # auto-threshold prefers brute force on TPU at this size; force the
+        # BVH path to exercise it end-to-end
+        scene = compile_scene(b, use_bvh=True)
         assert scene.has_bvh
         img, stats = render(scene, Camera.create(settings), pixel_chunk=1024)
         assert np.isfinite(img).all()
