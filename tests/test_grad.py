@@ -45,16 +45,42 @@ def _loss_for(scene, camera, seed=3):
                                   dtype=jnp.float64)
 
 
-def _fd(scene, camera, field, index, eps, seed=3):
+def _render(scene, camera, seed=3):
+    cam = camera.constants(jnp.float64)
+    pid = jnp.arange(camera.image_width * camera.image_height, dtype=jnp.int32)
+    key = jax.random.PRNGKey(seed)
+    return np.asarray(grad_mod.radiance_mean(
+        scene, cam, pid, key, camera.samples_per_pixel, camera.max_depth))
+
+
+def _masked_fd_vs_ad(scene, camera, field, index, eps, seed=3):
+    """Interior-gradient comparison (SURVEY.md §7 'gradients through discrete
+    events'): the fixed-RNG estimator is piecewise smooth — a parameter step
+    flips discrete decisions (silhouette hit/miss, material branch, Schlick
+    coin) on a sparse set of pixels, each flip an O(1/spp) jump that dominates
+    the O(eps) interior change and that autodiff deliberately excludes
+    (detached-discrete). Detect flipped pixels by their jump magnitude
+    (> 30*eps while interior deltas are ~eps*grad) and compare FD vs AD of the
+    mean over the surviving interior pixels only."""
     arr = np.asarray(getattr(scene, field)).copy()
     arr_p, arr_m = arr.copy(), arr.copy()
     arr_p[index] += eps
     arr_m[index] -= eps
-    lp, _ = _loss_for(dataclasses.replace(scene, **{field: jnp.asarray(arr_p)}),
-                      camera, seed)
-    lm, _ = _loss_for(dataclasses.replace(scene, **{field: jnp.asarray(arr_m)}),
-                      camera, seed)
-    return (float(lp) - float(lm)) / (2 * eps)
+    img_p = _render(dataclasses.replace(scene, **{field: jnp.asarray(arr_p)}),
+                    camera, seed)
+    img_m = _render(dataclasses.replace(scene, **{field: jnp.asarray(arr_m)}),
+                    camera, seed)
+    jump = np.abs(img_p - img_m).max(-1) > 30 * eps
+    mask = jnp.asarray(~jump, jnp.float64)
+    n_keep = int(mask.sum())
+    # the flipped set must be sparse, else the mask hides a broken gradient
+    assert n_keep >= 0.95 * jump.size, f"too many boundary pixels: {n_keep}"
+    fd = float(((img_p - img_m) / (2 * eps))[~jump].mean())
+    loss_fn = lambda img, pid: jnp.sum(img * mask[:, None]) / (n_keep * 3)
+    _, g = grad_mod.loss_and_grad(scene, camera, loss_fn, seed=seed,
+                                  dtype=jnp.float64)
+    ad = float(np.asarray(getattr(g, field))[index])
+    return fd, ad
 
 
 @pytest.fixture(scope="module")
@@ -80,21 +106,18 @@ def test_grads_finite_and_nonzero(setup):
 
 
 @pytest.mark.parametrize("field,index,eps", [
-    ("sph_radius", (0,), 1e-4),
-    ("sph_center", (0, 0), 1e-4),
-    ("sph_center", (0, 2), 1e-4),
-    ("tex_rgb", (1, 0), 1e-3),        # checker even color red channel
-    ("tex_rgb", (5, 0), 1e-3),        # light red channel
-    ("tex_noise_scale", (0,), 1e-4),  # marble frequency (texture param)
+    ("sph_radius", (0,), 1e-5),
+    ("sph_center", (0, 0), 1e-5),
+    ("sph_center", (0, 2), 1e-5),
+    ("tex_rgb", (1, 0), 1e-5),        # checker even color red channel
+    ("tex_rgb", (5, 0), 1e-5),        # light red channel
+    ("tex_noise_scale", (0,), 1e-5),  # marble frequency (texture param)
 ])
 def test_autodiff_matches_finite_differences(setup, field, index, eps):
-    scene, camera, _, g = setup
-    fd = _fd(scene, camera, field, index, eps)
-    ad = float(np.asarray(getattr(g, field))[index])
-    # fixed RNG makes the estimator deterministic; interior contributions
-    # match FD tightly (silhouette/boundary terms are the documented gap)
-    assert np.isfinite(fd)
-    tol = max(0.08 * max(abs(fd), abs(ad)), 1e-7)
+    scene, camera, _, _ = setup
+    fd, ad = _masked_fd_vs_ad(scene, camera, field, index, eps)
+    assert np.isfinite(fd) and np.isfinite(ad)
+    tol = max(0.03 * max(abs(fd), abs(ad)), 1e-7)
     assert abs(fd - ad) <= tol, f"{field}{index}: fd={fd:.3e} ad={ad:.3e}"
 
 
