@@ -4,7 +4,6 @@ cluster')."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The environment may pre-import jax with JAX_PLATFORMS pinned to a hardware
+# plugin (sitecustomize); a plain env setdefault is too late by then. Override
+# through the config API so the suite always runs on the 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # float64 available for oracle-grade tests (device code stays f32 by default)
 jax.config.update("jax_enable_x64", True)
