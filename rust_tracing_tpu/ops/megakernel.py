@@ -262,11 +262,13 @@ def _make_kernel(sc: _SceneConst, cam, width, height, spp, max_depth,
             rad_r = jnp.zeros(shape, jnp.float32)
             rad_g = jnp.zeros(shape, jnp.float32)
             rad_b = jnp.zeros(shape, jnp.float32)
-            alive = jnp.ones(shape, jnp.bool_)
+            # alive carried as f32 (Mosaic rejects i1 vectors as loop state)
+            alive_f = jnp.ones(shape, jnp.float32)
 
             def bounce(depth_i, st):
                 (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                 rad_r, rad_g, rad_b, alive) = st
+                 rad_r, rad_g, rad_b, alive_f) = st
+                alive = alive_f > 0.0
                 rngb = _Rng(seed_val, rid, s, depth_i)
 
                 big = jnp.float32(jnp.inf)
@@ -523,7 +525,8 @@ def _make_kernel(sc: _SceneConst, cam, width, height, spp, max_depth,
                 at_g = jnp.where(is_metal, al_g, jnp.where(is_diel, 1.0, tex_g))
                 at_b = jnp.where(is_metal, al_b, jnp.where(is_diel, 1.0, tex_b))
 
-                scattered = jnp.where(is_metal, metal_ok, ~is_light)
+                # logical form, not where-on-bools (Mosaic can't select i1)
+                scattered = (is_metal & metal_ok) | (~is_metal & ~is_light)
                 scat = live_hit & scattered
 
                 tp_r = jnp.where(scat, tp_r * at_r, tp_r)
@@ -542,13 +545,13 @@ def _make_kernel(sc: _SceneConst, cam, width, height, spp, max_depth,
                 dx = jnp.where(scat, new_dx, dx)
                 dy = jnp.where(scat, new_dy, dy)
                 dz = jnp.where(scat, new_dz, dz)
-                alive = scat
+                alive_f = scat.astype(jnp.float32)
 
                 return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                        rad_r, rad_g, rad_b, alive)
+                        rad_r, rad_g, rad_b, alive_f)
 
             st = (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                  rad_r, rad_g, rad_b, alive)
+                  rad_r, rad_g, rad_b, alive_f)
             st = jax.lax.fori_loop(0, max_depth, bounce, st)
             rad_r, rad_g, rad_b = st[9], st[10], st[11]
             return acc_r + rad_r, acc_g + rad_g, acc_b + rad_b
