@@ -1,5 +1,6 @@
-"""Headline benchmark: rays/s/chip forward+backward on Cornell box
-(BASELINE.json metric: cornell 600x600 @ 200spp).
+"""Headline benchmark: forward rays/s/chip on the Cornell box
+(BASELINE.md workload: cornell 600x600, reference main.rs:406-418; spp scaled
+to 200 per BASELINE.json's north-star config).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -7,11 +8,20 @@ vs_baseline compares against the documented estimate of the Rust reference on
 a modern multi-core CPU (BASELINE.md): the reference publishes no numbers and
 cargo isn't available here, so 20 Mrays/s (16-core rayon path tracing of this
 scene class) is used as the denominator and recorded in BASELINE.md.
+
+What runs:
+  1. forward (headline): the production render path — the fused Pallas
+     megakernel on TPU (ops/megakernel.py), XLA wavefront elsewhere — timed on
+     a full 600x600 @ 200spp frame with exact on-device ray counting.
+  2. parity gate: megakernel vs XLA wavefront mean-image ratio on hardware
+     (skipped off-TPU); reported in aux as "parity_ratio" (target |1-r| < 1%).
+  3. forward+backward: a TRUE full-frame 600x600 value_and_grad of the mean
+     radiance w.r.t. all scene parameters (no extrapolation) with exact ray
+     counting, reported in aux.
 """
 
 import dataclasses
 import json
-import sys
 import time
 
 import jax
@@ -23,7 +33,9 @@ REFERENCE_CPU_RAYS_PER_SEC = 20e6  # documented estimate, see BASELINE.md
 WIDTH = 600
 SPP = 200
 MAX_DEPTH = 8
-GRAD_SPP = 8  # backward-pass spp batch (amortized measurement)
+GRAD_SPP = 8  # full-frame backward spp (rate metric; rays counted exactly)
+PARITY_WIDTH = 200
+PARITY_SPP = 512
 
 
 def main():
@@ -37,45 +49,53 @@ def main():
                                    samples_per_pixel=SPP, max_depth=MAX_DEPTH)
     scene = compile_scene(b)
     camera = Camera.create(settings)
+    on_tpu = jax.default_backend() == "tpu"
 
-    # ---- forward: full cornell 600x600 @ SPP
-    img, stats = renderer.render(scene, camera)  # includes compile (cached after)
+    # ---- forward (headline): production path, full cornell 600x600 @ SPP
+    img, stats = renderer.render(scene, camera)  # includes compile
     img, stats = renderer.render(scene, camera, seed=1)  # timed run
     fwd_rays_per_sec = stats.rays_per_sec
-    fwd_rays = stats.rays
+    avg_bounces = stats.rays / (WIDTH * settings.image_height * SPP)
 
-    # ---- forward+backward: value_and_grad of mean radiance on a pixel chunk
-    cam = camera.constants(jnp.float32)
-    chunk = 65536
-    pixel_ids = jnp.arange(chunk, dtype=jnp.int32)
+    # ---- parity gate: megakernel vs XLA wavefront on the same hardware
+    parity_ratio = None
+    if on_tpu:
+        psettings = dataclasses.replace(
+            settings, image_width=PARITY_WIDTH, samples_per_pixel=PARITY_SPP)
+        pcam = Camera.create(psettings)
+        img_mk, _ = renderer.render(scene, pcam, seed=7, use_megakernel=True)
+        img_xla, _ = renderer.render(scene, pcam, seed=7, use_megakernel=False)
+        parity_ratio = float(np.mean(img_mk) / np.mean(img_xla))
+
+    # ---- forward+backward: TRUE full-frame value_and_grad, exact ray count
     loss_fn = lambda im, pid: jnp.mean(im)
 
     def run_grad(seed):
-        loss, g = grad_mod.loss_and_grad(scene, camera, loss_fn, seed=seed,
-                                         spp=GRAD_SPP, max_depth=MAX_DEPTH,
-                                         pixel_ids=pixel_ids)
+        loss, g, nrays = grad_mod.loss_and_grad(
+            scene, camera, loss_fn, seed=seed, spp=GRAD_SPP,
+            max_depth=MAX_DEPTH, with_rays=True)
         jax.block_until_ready(g.sph_center)
-        return loss
+        return nrays
 
     run_grad(0)  # compile
     t0 = time.perf_counter()
-    n_rep = 3
-    for i in range(n_rep):
-        run_grad(i + 1)
-    dt = time.perf_counter() - t0
-    # rays traced per grad run: chunk * spp * avg_bounces (use forward avg)
-    avg_bounces = fwd_rays / (WIDTH * settings.image_height * SPP)
-    grad_rays = chunk * GRAD_SPP * avg_bounces * n_rep
-    fwdbwd_rays_per_sec = grad_rays / dt
+    n_rep = 2
+    grad_rays = sum(run_grad(i + 1) for i in range(n_rep))
+    fwdbwd_rays_per_sec = grad_rays / (time.perf_counter() - t0)
 
     result = {
-        "metric": "cornell600_fwd+bwd_rays_per_sec_per_chip",
-        "value": round(fwdbwd_rays_per_sec),
+        "metric": "cornell600_forward_rays_per_sec_per_chip",
+        "value": round(fwd_rays_per_sec),
         "unit": "rays/s",
-        "vs_baseline": round(fwdbwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),
+        "vs_baseline": round(fwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),
         "aux": {
-            "forward_rays_per_sec": round(fwd_rays_per_sec),
             "forward_seconds": round(stats.seconds, 3),
+            "forward_path": "megakernel" if on_tpu else "xla_wavefront",
+            "fwdbwd_rays_per_sec": round(fwdbwd_rays_per_sec),
+            "fwdbwd_vs_baseline": round(
+                fwdbwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),
+            "fwdbwd_full_frame": f"{WIDTH}x{settings.image_height}@{GRAD_SPP}spp",
+            "parity_ratio_megakernel_vs_xla": parity_ratio,
             "avg_bounces": round(avg_bounces, 3),
             "device": str(jax.devices()[0]),
         },

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import RenderSettings, degrees_to_radians
-from .ops import rng as _rng
+from .ops import hashrng
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,7 +116,7 @@ class CameraConstants:
     image_width: int = dataclasses.field(metadata=dict(static=True))
 
 
-def get_rays(cam: CameraConstants, key, pixel_ids):
+def get_rays(cam: CameraConstants, seed, pixel_ids, sample):
     """Generate one primary ray per entry of ``pixel_ids`` (flat ``j*w + i``).
 
     Faithful to reference src/camera.rs:112-137:
@@ -124,17 +124,20 @@ def get_rays(cam: CameraConstants, key, pixel_ids):
     - origin on the defocus disk iff ``defocus_angle > 0`` (:117-121),
     - a *fresh uniform shutter time per ray, always* (:123).
 
+    All draws come from the counter-based RNG addressed by
+    ``(seed, pixel_id, sample, site)`` (ops/hashrng.py) — the stream is a pure
+    function of those indices, so renders are bitwise independent of pixel
+    chunking and mesh shape, and identical to the Pallas megakernel's.
+
     Returns ``(origin[R,3], direction[R,3], time[R])``.
     """
     dtype = cam.center.dtype
     i = (pixel_ids % cam.image_width).astype(dtype)
     j = (pixel_ids // cam.image_width).astype(dtype)
 
-    k_px, k_py, k_disk, k_time = jax.random.split(key, 4)
-    shape = pixel_ids.shape
-
-    px = _rng.uniform(k_px, shape, dtype) - 0.5
-    py = _rng.uniform(k_py, shape, dtype) - 0.5
+    r = hashrng.CounterRng(seed, pixel_ids, sample)
+    px = r.uniform(hashrng.SITE_PIXEL_JX).astype(dtype) - 0.5
+    py = r.uniform(hashrng.SITE_PIXEL_JY).astype(dtype) - 0.5
 
     pixel_sample = (
         cam.pixel00_loc
@@ -147,13 +150,13 @@ def get_rays(cam: CameraConstants, key, pixel_ids):
         # origin carries the same device-varying type under shard_map
         origin = cam.center + jnp.zeros_like(pixel_sample)
     else:
-        p = _rng.random_in_unit_disk(k_disk, shape, dtype)
+        dx, dy = r.in_unit_disk(hashrng.SITE_DEFOCUS_R, hashrng.SITE_DEFOCUS_TH)
         origin = (
             cam.center
-            + p[..., 0:1] * cam.defocus_disk_u
-            + p[..., 1:2] * cam.defocus_disk_v
+            + dx.astype(dtype)[..., None] * cam.defocus_disk_u
+            + dy.astype(dtype)[..., None] * cam.defocus_disk_v
         )
 
     direction = pixel_sample - origin
-    time = _rng.uniform(k_time, shape, dtype)
+    time = r.uniform(hashrng.SITE_TIME).astype(dtype)
     return origin, direction, time

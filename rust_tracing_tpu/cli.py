@@ -39,8 +39,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seed for randomized scene content (scenes 0 and 8)")
     p.add_argument("--distributed", action="store_true",
                    help="shard pixels/samples over all visible devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "rendezvous before building the mesh (fail-fast if "
+                        "the coordinator is unreachable); implies "
+                        "--distributed")
     p.add_argument("--sample-parallelism", type=int, default=1,
                    help="mesh chips cooperating on the spp axis")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR")
+    p.add_argument("--report-occupancy", action="store_true",
+                   help="print per-bounce live-ray fractions (wavefront "
+                        "divergence telemetry) before rendering")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="progressive checkpoint file (.npz) to save/resume")
     p.add_argument("--checkpoint-every", type=int, default=32,
@@ -69,6 +79,14 @@ def main(argv=None) -> int:
     if dtype is jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
+    if args.multihost:
+        # Multi-host rendezvous (SURVEY.md §5.8): fail-fast — a missing or
+        # misconfigured coordinator raises here instead of hanging the render.
+        jax.distributed.initialize()
+        args.distributed = True
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}"
+              f" with {jax.local_device_count()} local devices")
+
     t0 = time.perf_counter()
     b, settings = builders.build_scene(args.scene, seed=args.scene_seed)
     overrides = {}
@@ -89,14 +107,29 @@ def main(argv=None) -> int:
 
     out_png = f"{args.output}.png"
 
+    if args.report_occupancy:
+        from .renderer import measure_occupancy
+
+        occ = measure_occupancy(scene, camera, seed=args.seed)
+        frac = " ".join(f"{x:.3f}" for x in occ)
+        print(f"occupancy per bounce: {frac} (mean {occ.mean():.3f})")
+
     if args.live:
         state = None
         if args.checkpoint:
-            try:
+            import os
+
+            if os.path.exists(args.checkpoint):
+                # A present-but-unreadable checkpoint is an error, not a
+                # silent restart — that would throw away paid-for samples.
                 state = ckpt.load(args.checkpoint)
+                if state.accum.shape[:2] != (camera.image_height,
+                                             camera.image_width):
+                    raise SystemExit(
+                        f"checkpoint {args.checkpoint} is {state.accum.shape[1]}x"
+                        f"{state.accum.shape[0]} but the render is "
+                        f"{camera.image_width}x{camera.image_height}")
                 print(f"Resumed {args.checkpoint} at {state.num_samples} spp")
-            except (FileNotFoundError, OSError):
-                pass
         if state is None:
             state = progressive_init(camera, seed=args.seed)
         t0 = time.perf_counter()
@@ -117,22 +150,29 @@ def main(argv=None) -> int:
         print(f"Wrote {out_png} at {state.num_samples} spp")
         return 0
 
-    if args.distributed:
-        from .parallel import mesh as mesh_mod
-        from .parallel.render_dist import render_distributed
+    import contextlib
 
-        mesh = mesh_mod.make_mesh(sample_parallelism=args.sample_parallelism)
-        print(f"Mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
-        t0 = time.perf_counter()
-        image = render_distributed(scene, camera, mesh, seed=args.seed,
-                                   dtype=dtype)
-        print(f"Render time: {time.perf_counter() - t0:.2f}s")
-    else:
-        bar = ProgressBar(camera.image_width * camera.image_height)
-        image, stats = render(scene, camera, seed=args.seed, dtype=dtype,
-                              progress=bar)
-        print(f"Render time: {stats.seconds:.2f}s "
-              f"({stats.rays_per_sec / 1e6:.2f} Mrays/s)")
+    profile_cm = (jax.profiler.trace(args.profile) if args.profile
+                  else contextlib.nullcontext())
+    with profile_cm:
+        if args.distributed:
+            from .parallel import mesh as mesh_mod
+            from .parallel.render_dist import render_distributed
+
+            mesh = mesh_mod.make_mesh(sample_parallelism=args.sample_parallelism)
+            print(f"Mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+            t0 = time.perf_counter()
+            image = render_distributed(scene, camera, mesh, seed=args.seed,
+                                       dtype=dtype)
+            print(f"Render time: {time.perf_counter() - t0:.2f}s")
+        else:
+            bar = ProgressBar(camera.image_width * camera.image_height)
+            image, stats = render(scene, camera, seed=args.seed, dtype=dtype,
+                                  progress=bar)
+            print(f"Render time: {stats.seconds:.2f}s "
+                  f"({stats.rays_per_sec / 1e6:.2f} Mrays/s)")
+    if args.profile:
+        print(f"Profiler trace written to {args.profile}")
 
     t0 = time.perf_counter()
     write_png(out_png, image)

@@ -30,35 +30,52 @@ from .ops import integrator
 
 
 @functools.partial(jax.jit, static_argnames=("spp", "max_depth", "hit_fn"))
-def radiance_mean(scene, cam: CameraConstants, pixel_ids, key, spp: int,
-                  max_depth: int, hit_fn=None):
-    """Mean radiance per pixel over ``spp`` fixed-RNG samples, (C,3).
+def radiance_mean_rays(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
+                       max_depth: int, hit_fn=None):
+    """(mean radiance (C,3), rays traced ()) over ``spp`` fixed-RNG samples.
+
+    RNG is the counter-based generator addressed by (seed, pixel, sample,
+    bounce) — the estimator is a deterministic function of the scene for a
+    fixed seed, which is what makes finite-difference gradient checks exact.
 
     Differentiable w.r.t. ``scene``; each bounce is rematerialized in the
-    backward pass so memory stays O(rays), not O(rays x depth x prims).
+    backward pass so memory stays O(rays), not O(rays x depth x prims). The
+    ray counter is an exact count of scene queries (for honest rays/s).
     """
     C = pixel_ids.shape[0]
     dtype = cam.center.dtype
 
-    def body(s, acc):
-        k = jax.random.fold_in(key, s)
-        k_cam, k_trace = jax.random.split(k)
-        o, d, t = get_rays(cam, k_cam, pixel_ids)
-        rad, _ = integrator.trace(scene, o, d, t, k_trace, max_depth,
-                                  closest_hit_fn=hit_fn, remat=True)
-        return acc + rad
+    def body(s, carry):
+        acc, nrays = carry
+        o, d, t = get_rays(cam, seed, pixel_ids, s)
+        rad, nb = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
+                                   max_depth, closest_hit_fn=hit_fn,
+                                   remat=True)
+        return acc + rad, nrays + jnp.sum(nb).astype(jnp.float32)
 
-    acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((C, 3), dtype))
-    return acc / spp
+    acc, nrays = jax.lax.fori_loop(
+        0, spp, body, (jnp.zeros((C, 3), dtype), jnp.zeros((), jnp.float32)))
+    return acc / spp, nrays
+
+
+def radiance_mean(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
+                  max_depth: int, hit_fn=None):
+    """Mean radiance per pixel over ``spp`` fixed-RNG samples, (C,3)."""
+    return radiance_mean_rays(scene, cam, pixel_ids, seed, spp, max_depth,
+                              hit_fn)[0]
 
 
 def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
                   spp: Optional[int] = None, max_depth: Optional[int] = None,
-                  pixel_ids=None, hit_fn=None, dtype=jnp.float32):
+                  pixel_ids=None, hit_fn=None, dtype=jnp.float32,
+                  with_rays: bool = False):
     """(loss, d loss / d scene) for ``loss_fn(image_flat (C,3), pixel_ids)``.
 
     ``pixel_ids`` defaults to the full image. The returned gradient is a
-    CompiledScene pytree (int/bool leaves get zero cotangents).
+    CompiledScene pytree (int/bool leaves get zero cotangents). With
+    ``with_rays``, returns (loss, grad, rays_traced) where rays_traced is the
+    exact forward scene-query count (the backward pass rematerializes the same
+    paths, so fwd+bwd rays/s is conventionally measured against this count).
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
@@ -70,7 +87,7 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     if pixel_ids is None:
         pixel_ids = jnp.arange(camera.image_width * camera.image_height,
                                dtype=jnp.int32)
-    key = jax.random.PRNGKey(seed)
+    seed_arr = jnp.uint32(seed)
 
     # Differentiate w.r.t. the float leaves only; int/bool leaves (type codes,
     # validity masks) are structural and get zero-gradient placeholders.
@@ -85,15 +102,18 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
         return jax.tree_util.tree_unflatten(treedef, merged)
 
     def scalar_loss(diff_leaves):
-        img = radiance_mean(rebuild(diff_leaves), cam, pixel_ids, key, spp,
-                            max_depth, hit_fn)
-        return loss_fn(img, pixel_ids)
+        img, nrays = radiance_mean_rays(rebuild(diff_leaves), cam, pixel_ids,
+                                        seed_arr, spp, max_depth, hit_fn)
+        return loss_fn(img, pixel_ids), nrays
 
-    loss, dg = jax.value_and_grad(scalar_loss)(diff)
+    (loss, nrays), dg = jax.value_and_grad(scalar_loss, has_aux=True)(diff)
     it_g = iter(dg)
     grad_leaves = [next(it_g) if d else jnp.zeros_like(l)
                    for l, d in zip(leaves, is_diff)]
-    return loss, jax.tree_util.tree_unflatten(treedef, grad_leaves)
+    grad = jax.tree_util.tree_unflatten(treedef, grad_leaves)
+    if with_rays:
+        return loss, grad, float(nrays)
+    return loss, grad
 
 
 def l2_to_target(target_flat):

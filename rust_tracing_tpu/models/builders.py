@@ -273,8 +273,15 @@ SCENE_NAMES = {
 
 
 def build_scene(index: int, seed: int = 0):
-    """Scene dispatch (reference: src/main.rs:645-656)."""
-    fn = SCENES.get(index, random_balls)
+    """Scene dispatch (reference: src/main.rs:645-656).
+
+    Unlike the reference's silent default arm, an unknown index is an error —
+    a typoed ``--scene 9`` should not burn a long render on the wrong scene.
+    """
+    if index not in SCENES:
+        valid = ", ".join(f"{i}:{SCENE_NAMES[i]}" for i in sorted(SCENES))
+        raise ValueError(f"unknown scene index {index}; valid: {valid}")
+    fn = SCENES[index]
     try:
         return fn(seed=seed)  # type: ignore[call-arg]
     except TypeError:

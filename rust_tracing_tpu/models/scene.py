@@ -204,6 +204,17 @@ class SceneBuilder:
         """reference: src/material.rs:132-138."""
         return self._add_material(ISOTROPIC, tex=self._tex_id(albedo))
 
+    def _check_mat(self, mat: int) -> None:
+        if not 0 <= mat < len(self.mat_type):
+            raise ValueError(f"material id {mat} out of range "
+                             f"(have {len(self.mat_type)} materials)")
+
+    @staticmethod
+    def _check_finite(name, value) -> None:
+        a = np.asarray(value, np.float64)
+        if not np.all(np.isfinite(a)):
+            raise ValueError(f"{name} must be finite, got {value}")
+
     # ---------------------------------------------------------------- geometry
     def add_sphere(self, center: Color, radius: float, mat: int,
                    target: Optional[Color] = None,
@@ -213,7 +224,14 @@ class SceneBuilder:
         ``target`` sets the t=1 center for motion blur (``with_target``);
         ``transform`` is baked into the center (rigid transforms preserve
         spheres, replacing the reference's per-ray Translate/RotateY).
+        A negative radius is allowed (the book's hollow-glass-shell trick:
+        it flips the outward normal); zero or non-finite is rejected.
         """
+        self._check_mat(mat)
+        self._check_finite("sphere center", center)
+        self._check_finite("sphere radius", radius)
+        if radius == 0.0:
+            raise ValueError("sphere radius must be nonzero")
         c = transform.apply_point(np.asarray(center, dtype=np.float64))
         cvec = np.zeros(3)
         if target is not None:
@@ -226,6 +244,12 @@ class SceneBuilder:
     def add_quad(self, q: Color, u: Color, v: Color, mat: int,
                  transform: Transform = IDENTITY) -> None:
         """Parallelogram (reference: src/quad.rs:23-38), transform baked."""
+        self._check_mat(mat)
+        self._check_finite("quad q/u/v", (tuple(q), tuple(u), tuple(v)))
+        if np.linalg.norm(np.cross(np.asarray(u, np.float64),
+                                   np.asarray(v, np.float64))) == 0.0:
+            raise ValueError("quad edge vectors u, v must span a plane "
+                             "(cross product is zero)")
         self.quad_q.append(transform.apply_point(np.asarray(q, np.float64)))
         self.quad_u.append(transform.apply_vector(np.asarray(u, np.float64)))
         self.quad_v.append(transform.apply_vector(np.asarray(v, np.float64)))
@@ -253,6 +277,8 @@ class SceneBuilder:
                           albedo, transform: Transform = IDENTITY) -> None:
         """Constant-density medium with a spherical boundary
         (reference: src/constant_medium.rs:14-31 wrapping a Sphere)."""
+        if not (density > 0.0 and np.isfinite(density)):
+            raise ValueError(f"medium density must be > 0, got {density}")
         mat = self.isotropic(albedo)
         self.med_type.append(MED_SPHERE)
         self.med_sph_center.append(
@@ -271,6 +297,8 @@ class SceneBuilder:
         box (reference: cornell_smoke, src/main.rs cube + RotateY + Translate
         wrapped in ConstantMedium). The boundary keeps its local frame; rays
         are transformed world->local for the slab entry/exit test."""
+        if not (density > 0.0 and np.isfinite(density)):
+            raise ValueError(f"medium density must be > 0, got {density}")
         mat = self.isotropic(albedo)
         lo = np.minimum(np.asarray(a, np.float64), np.asarray(b, np.float64))
         hi = np.maximum(np.asarray(a, np.float64), np.asarray(b, np.float64))

@@ -123,25 +123,41 @@ def traverse(scene, origin, direction, time):
     return t_best, ty_best, ix_best
 
 
-def closest_hit_bvh(scene, origin, direction, time, key) -> Hit:
-    """BVH-accelerated replacement for intersect.closest_hit (same result)."""
-    t_best, ty_best, ix_best = traverse(scene, origin, direction, time)
+def closest_hit_bvh(scene, origin, direction, time, rngb) -> Hit:
+    """BVH-accelerated replacement for intersect.closest_hit (same result).
+
+    Autodiff: ``lax.while_loop`` is not reverse-differentiable, and the walk
+    is a discrete search anyway — so the traversal runs fully DETACHED
+    (stop_gradient), and the winner's (t, alpha, beta) are recomputed from
+    the gathered primitive parameters, O(R) and differentiable. Same
+    detached-argmin structure as intersect.sphere_closest/quad_closest.
+    """
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree_util.tree_map(sg, scene)
+    t_sg, ty_best, ix_best = traverse(scene_sg, sg(origin), sg(direction),
+                                      sg(time))
 
     sph_win = ty_best == 0
     quad_win = ty_best == 1
-    t_sph = jnp.where(sph_win, t_best, BIG)
     i_sph = jnp.where(sph_win, ix_best, 0)
-    t_quad = jnp.where(quad_win, t_best, BIG)
     i_quad = jnp.where(quad_win, ix_best, 0)
+
+    # differentiable winner recompute against a window just past the found t
+    window = jnp.where(jnp.isfinite(t_sg), t_sg * (1 + 1e-5) + 1e-5, BIG)
+    t_s = _sphere_hit_one(scene, origin, direction, time, i_sph, window)
+    t_q = _quad_hit_one(scene, origin, direction, i_quad, window)
+    t_sph = jnp.where(sph_win, t_s, BIG)
+    t_quad = jnp.where(quad_win, t_q, BIG)
 
     # recompute the winning quad's (alpha, beta) for UVs (quad.rs:131)
     normal, d_plane, w = scene.quad_frame()
-    p = origin + t_best[:, None] * direction
+    t_w = jnp.where(quad_win, t_q, jnp.where(sph_win, t_s, 0.0))
+    p = origin + t_w[:, None] * direction
     planar = p - scene.quad_q[i_quad]
     alpha = la.dot(w[i_quad], la.cross(planar, scene.quad_v[i_quad]))
     beta = la.dot(w[i_quad], la.cross(scene.quad_u[i_quad], planar))
 
-    return assemble_hit(scene, origin, direction, time, key,
+    return assemble_hit(scene, origin, direction, time, rngb,
                         t_sph, i_sph, t_quad, i_quad, alpha, beta)
 
 

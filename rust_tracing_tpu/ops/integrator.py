@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import intersect
+from . import hashrng, intersect
 from .materials import scatter_and_emit
 
 # Scale-aware secondary-ray origin offset (f32 self-intersection guard).
@@ -28,14 +28,19 @@ _ORIGIN_EPS_ABS = 1e-4
 _ORIGIN_EPS_REL = 2e-4
 
 
-def trace(scene, origin, direction, time, key, max_depth: int,
-          closest_hit_fn=None, remat: bool = False):
+def trace(scene, origin, direction, time, rng_idx, max_depth: int,
+          closest_hit_fn=None, remat: bool = False,
+          with_occupancy: bool = False):
     """Trace a flat batch of rays to completion.
 
     Args:
       scene: CompiledScene.
       origin, direction: (R,3); time: (R,).
-      key: PRNG key (folded per bounce internally).
+      rng_idx: ``(seed, pixel_ids, sample)`` address prefix for the
+        counter-based RNG (ops/hashrng.py); the per-bounce scope is
+        ``CounterRng(seed, pixel_id, sample, bounce)``, making every draw a
+        pure function of its address — renders are bitwise independent of
+        chunking/mesh shape and share streams with the Pallas megakernel.
       max_depth: static bounce budget (reference camera.max_depth).
       closest_hit_fn: optional override for the closest-hit kernel
         (e.g. the BVH traversal path); defaults to brute force.
@@ -45,11 +50,14 @@ def trace(scene, origin, direction, time, key, max_depth: int,
 
     Returns:
       radiance (R,3), bounces_used (R,) int32 — number of scene queries each
-      ray performed (for rays/s accounting).
+      ray performed (for rays/s accounting). With ``with_occupancy``, also a
+      (max_depth,) int32 vector of live-ray counts entering each bounce — the
+      wavefront-divergence telemetry of SURVEY.md §7 (hard part #1).
     """
     R = origin.shape[0]
     dtype = origin.dtype
     hit_fn = closest_hit_fn or intersect.closest_hit
+    seed, pixel_ids, sample = rng_idx
 
     # init values derived from the inputs (ones_like/zeros_like) so their
     # device-varying type matches the step outputs under shard_map
@@ -62,17 +70,18 @@ def trace(scene, origin, direction, time, key, max_depth: int,
         jnp.zeros_like(time, dtype=jnp.int32),  # bounce counter
     )
 
-    def step(carry, k):
+    def step(carry, depth_i):
         o, d, tp, rad, alive, nb = carry
-        k_med, k_mat = jax.random.split(k)
+        rngb = hashrng.CounterRng(seed, pixel_ids, sample, depth_i)
+        n_live = jnp.sum(alive.astype(jnp.int32))
 
-        hit = hit_fn(scene, o, d, time, k_med)
+        hit = hit_fn(scene, o, d, time, rngb)
         nb = nb + alive.astype(jnp.int32)
 
         miss = alive & ~hit.hit
         rad = rad + jnp.where(miss[:, None], tp * scene.background, 0.0)
 
-        s = scatter_and_emit(scene, k_mat, d, hit)
+        s = scatter_and_emit(scene, rngb, d, hit)
         live_hit = alive & hit.hit
         rad = rad + jnp.where(live_hit[:, None], tp * s.emitted, 0.0)
 
@@ -94,10 +103,12 @@ def trace(scene, origin, direction, time, key, max_depth: int,
         o = jnp.where(scat[:, None], new_o, o)
         d = jnp.where(scat[:, None], s.direction, d)
         alive = scat
-        return (o, d, tp, rad, alive, nb), None
+        return (o, d, tp, rad, alive, nb), n_live
 
-    keys = jax.random.split(key, max_depth)
+    depths = jnp.arange(max_depth, dtype=jnp.int32)
     step_fn = jax.checkpoint(step) if remat else step
-    (o, d, tp, rad, alive, nb), _ = jax.lax.scan(step_fn, init, keys)
+    (o, d, tp, rad, alive, nb), occ = jax.lax.scan(step_fn, init, depths)
     # Depth exhausted -> black contribution (renderer.rs:140-142): nothing to add.
+    if with_occupancy:
+        return rad, nb, occ
     return rad, nb

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import T_MIN, QUAD_DENOM_EPS
+from . import hashrng
 from . import linalg as la
 
 BIG = jnp.inf
@@ -67,15 +68,25 @@ def sphere_closest(scene, origin, direction, time, t_max):
 
     Returns (t (R,), idx (R,) int32). t == +inf where no sphere hit.
     reference: src/sphere.rs:59-89 with the moving-center lerp :60-64.
+
+    Autodiff structure: the (R,S) search — which sphere wins and which root is
+    taken — is DETACHED (stop_gradient; the selection is piecewise-constant in
+    the scene parameters, SURVEY.md §7 "gradients through discrete events"),
+    and the winner's t is recomputed from its gathered parameters, O(R). The
+    backward pass therefore never transposes through the (rays x spheres)
+    broadcast — the custom-VJP-shaped argmin that makes full-frame fwd+bwd
+    tractable.
     """
-    # (R,S,3): center at ray time (sphere.rs:53-55)
-    center_t = scene.sph_center[None, :, :] + (
-        scene.sph_cvec[None, :, :] * time[:, None, None]
+    sg = jax.lax.stop_gradient
+    # ---- detached discrete search over the full (R,S) candidate matrix
+    o_, d_, t_ = sg(origin), sg(direction), sg(time)
+    center_t = sg(scene.sph_center)[None, :, :] + (
+        sg(scene.sph_cvec)[None, :, :] * t_[:, None, None]
     )
-    oc = origin[:, None, :] - center_t
-    a = la.length_squared(direction)[:, None]  # (R,1)
-    half_b = jnp.sum(oc * direction[:, None, :], axis=-1)  # (R,S)
-    c = la.length_squared(oc) - (scene.sph_radius**2)[None, :]
+    oc = o_[:, None, :] - center_t
+    a = la.length_squared(d_)[:, None]  # (R,1)
+    half_b = jnp.sum(oc * d_[:, None, :], axis=-1)  # (R,S)
+    c = la.length_squared(oc) - sg(scene.sph_radius**2)[None, :]
     disc = half_b * half_b - a * c
     sqrtd = _safe_sqrt(disc, disc > 0.0)
 
@@ -89,7 +100,21 @@ def sphere_closest(scene, origin, direction, time, t_max):
 
     t = jnp.where(valid, root, BIG)
     idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
-    t_best = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+    take = lambda arr: jnp.take_along_axis(arr, idx[:, None], axis=-1)[:, 0]
+    has_hit = take(valid)
+    far_root = ~take(ok1)
+
+    # ---- differentiable O(R) recompute of the winner's t
+    cw = scene.sph_center[idx] + scene.sph_cvec[idx] * time[:, None]
+    ocw = origin - cw
+    aw = la.length_squared(direction)
+    hbw = la.dot(ocw, direction)
+    cwq = la.length_squared(ocw) - scene.sph_radius[idx] ** 2
+    discw = hbw * hbw - aw * cwq
+    sqw = _safe_sqrt(discw, has_hit & (discw > 0))
+    sign = jnp.where(far_root, 1.0, -1.0)
+    t_w = _safe_div(-hbw + sign * sqw, aw)
+    t_best = jnp.where(has_hit, t_w, BIG)
     return t_best, idx
 
 
@@ -98,19 +123,25 @@ def quad_closest(scene, origin, direction, time, t_max):
 
     Returns (t, idx, alpha, beta) with t == +inf on miss.
     reference: src/quad.rs:96-133 (no back-face culling, inclusive bounds).
+
+    Same autodiff structure as sphere_closest: detached (R,Q) search,
+    differentiable O(R) recompute of the winner's (t, alpha, beta).
     """
+    sg = jax.lax.stop_gradient
     normal, d_plane, w = scene.quad_frame()  # (Q,3),(Q,),(Q,3)
+    n_, dp_, w_ = sg(normal), sg(d_plane), sg(w)
+    o_, d_ = sg(origin), sg(direction)
     # NB: 3-element contractions stay as explicit VPU multiply-sums — an
     # einsum would be lowered onto the MXU in bf16 (K=3 is MXU-hostile and
     # the precision loss at 555-unit scenes breaks hit tests).
-    denom = jnp.sum(normal[None, :, :] * direction[:, None, :], axis=-1)
-    n_dot_o = jnp.sum(normal[None, :, :] * origin[:, None, :], axis=-1)
-    t = _safe_div(d_plane[None, :] - n_dot_o, denom)
+    denom = jnp.sum(n_[None, :, :] * d_[:, None, :], axis=-1)
+    n_dot_o = jnp.sum(n_[None, :, :] * o_[:, None, :], axis=-1)
+    t = _safe_div(dp_[None, :] - n_dot_o, denom)
 
-    p = origin[:, None, :] + t[..., None] * direction[:, None, :]
-    planar = p - scene.quad_q[None, :, :]
-    alpha = jnp.sum(w[None, :, :] * la.cross(planar, scene.quad_v[None, :, :]), axis=-1)
-    beta = jnp.sum(w[None, :, :] * la.cross(scene.quad_u[None, :, :], planar), axis=-1)
+    p = o_[:, None, :] + t[..., None] * d_[:, None, :]
+    planar = p - sg(scene.quad_q)[None, :, :]
+    alpha = jnp.sum(w_[None, :, :] * la.cross(planar, sg(scene.quad_v)[None, :, :]), axis=-1)
+    beta = jnp.sum(w_[None, :, :] * la.cross(sg(scene.quad_u)[None, :, :], planar), axis=-1)
 
     # inclusive `contains` (interval.rs:41-43, used by quad.rs:115)
     valid = (
@@ -126,15 +157,29 @@ def quad_closest(scene, origin, direction, time, t_max):
     t = jnp.where(valid, t, BIG)
     idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
     take = lambda arr: jnp.take_along_axis(arr, idx[:, None], axis=-1)[:, 0]
-    return take(t), idx, take(alpha), take(beta)
+    has_hit = take(valid)
+
+    # ---- differentiable O(R) recompute for the winning quad
+    nw = normal[idx]
+    ww = w[idx]
+    denw = la.dot(nw, direction)
+    tw = _safe_div(d_plane[idx] - la.dot(nw, origin), denw)
+    pw = origin + tw[:, None] * direction
+    plw = pw - scene.quad_q[idx]
+    alw = la.dot(ww, la.cross(plw, scene.quad_v[idx]))
+    bew = la.dot(ww, la.cross(scene.quad_u[idx], plw))
+    t_best = jnp.where(has_hit, tw, BIG)
+    return t_best, idx, alw, bew
 
 
-def medium_candidates(scene, origin, direction, time, t_surf, key):
+def medium_candidates(scene, origin, direction, time, t_surf, rngb):
     """Stochastic scatter candidates for every constant medium.
 
     reference: src/constant_medium.rs:34-71 — entry/exit of the convex
     boundary, entry clamped to t_min=0.001, exit clamped to the closest
     surface hit, exponential free-flight sampling with -ln(U)/rho.
+    ``rngb`` is the per-bounce CounterRng; medium ``i`` draws at site
+    ``SITE_MEDIUM + i`` (same contract as the megakernel).
 
     Returns (t (R,), mat (R,) int32) with t == +inf when no medium scatters.
     """
@@ -179,7 +224,10 @@ def medium_candidates(scene, origin, direction, time, t_surf, key):
 
     ray_len = la.length(direction)[:, None]
     dist_inside = (exit_ - entry) * ray_len
-    u = jax.random.uniform(key, (R, M), dtype=origin.dtype, minval=1e-12, maxval=1.0)
+    u = jnp.stack(
+        [rngb.uniform(hashrng.SITE_MEDIUM + i) for i in range(M)], axis=-1,
+    ).astype(origin.dtype)
+    u = jnp.maximum(u, 1e-12)
     hit_dist = scene.med_neg_inv_density[None, :] * jnp.log(u)
     ok = ok & (hit_dist <= dist_inside)
 
@@ -212,7 +260,7 @@ def _sphere_uv(n):
     return phi / (2.0 * jnp.pi), theta / jnp.pi
 
 
-def closest_hit(scene, origin, direction, time, key) -> Hit:
+def closest_hit(scene, origin, direction, time, rngb) -> Hit:
     """Full closest-hit query: spheres + quads + constant media, brute force.
 
     Equivalent to the reference's top-level ``world.hit(r, (0.001, inf))``
@@ -225,18 +273,18 @@ def closest_hit(scene, origin, direction, time, key) -> Hit:
 
     t_sph, i_sph = sphere_closest(scene, origin, direction, time, t_max0)
     t_quad, i_quad, alpha, beta = quad_closest(scene, origin, direction, time, t_max0)
-    return assemble_hit(scene, origin, direction, time, key,
+    return assemble_hit(scene, origin, direction, time, rngb,
                         t_sph, i_sph, t_quad, i_quad, alpha, beta)
 
 
-def assemble_hit(scene, origin, direction, time, key,
+def assemble_hit(scene, origin, direction, time, rngb,
                  t_sph, i_sph, t_quad, i_quad, alpha, beta) -> Hit:
     """Combine per-type winners with media sampling into a full Hit record.
 
     Shared tail of the brute-force and BVH closest-hit paths.
     """
     t_surf = jnp.minimum(t_sph, t_quad)
-    t_med, med_mat = medium_candidates(scene, origin, direction, time, t_surf, key)
+    t_med, med_mat = medium_candidates(scene, origin, direction, time, t_surf, rngb)
 
     # Priority: medium wins iff strictly closer than the surface winner (its
     # candidate is already clamped to the surface window).

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 
 from ..config import NEAR_ZERO_EPS
 from ..models.scene import DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC, LAMBERTIAN, METAL
+from . import hashrng
 from . import linalg as la
-from . import rng as _rng
 from .textures import texture_value
 
 
@@ -39,17 +39,25 @@ class Scatter(NamedTuple):
     emitted: jnp.ndarray  # (R,3)
 
 
-def scatter_and_emit(scene, key, d_in, hit) -> Scatter:
-    """Evaluate all material families for rays with hit records ``hit``."""
+def scatter_and_emit(scene, rngb, d_in, hit) -> Scatter:
+    """Evaluate all material families for rays with hit records ``hit``.
+
+    ``rngb`` is the per-bounce CounterRng scope (ops/hashrng.py); the draw
+    sites here mirror the megakernel's exactly, so both paths consume
+    identical random streams."""
     dtype = d_in.dtype
     R = d_in.shape[0]
     mtype = scene.mat_type[hit.mat_id]
     tex_id = scene.mat_tex[hit.mat_id]
 
-    k_unit, k_fuzz, k_coin = jax.random.split(key, 3)
-    unit_vec = _rng.random_unit_vector(k_unit, (R,), dtype)
-    fuzz_vec = _rng.random_in_unit_sphere(k_fuzz, (R,), dtype)
-    coin = _rng.uniform(k_coin, (R,), dtype)
+    unit_vec = jnp.stack(
+        rngb.unit_vector(hashrng.SITE_SCATTER_Z, hashrng.SITE_SCATTER_PHI),
+        axis=-1).astype(dtype)
+    fuzz_vec = jnp.stack(
+        rngb.in_unit_sphere(hashrng.SITE_FUZZ_Z, hashrng.SITE_FUZZ_PHI,
+                            hashrng.SITE_FUZZ_R),
+        axis=-1).astype(dtype)
+    coin = rngb.uniform(hashrng.SITE_SCHLICK).astype(dtype)
 
     n = hit.normal
     tex_val = texture_value(scene, tex_id, hit.u, hit.v, hit.p)

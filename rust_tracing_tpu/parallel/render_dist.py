@@ -22,21 +22,26 @@ from . import mesh as mesh_mod
 from .mesh import RAYS_AXIS, SAMPLE_AXIS
 
 
-def _local_radiance_sum(scene, cam, pixel_ids, key, spp_local, max_depth,
-                        hit_fn=None):
-    """Sum of ``spp_local`` radiance samples for this chip's pixel shard."""
+def _local_radiance_sum(scene, cam, pixel_ids, seed, sample_base, spp_local,
+                        max_depth, hit_fn=None):
+    """Sum of radiance samples ``sample_base .. sample_base+spp_local`` for
+    this chip's pixel shard.
+
+    Samples are addressed globally by (seed, pixel, sample) — the chip's mesh
+    coordinates never enter the RNG, so the sharded render equals the
+    single-device render exactly (bitwise when a pixel's whole sample range
+    stays on one chip; to float-sum associativity when spp is split)."""
     def sample(s):
-        k = jax.random.fold_in(key, s)
-        k_cam, k_trace = jax.random.split(k)
-        o, d, t = get_rays(cam, k_cam, pixel_ids)
-        rad, _ = integrator.trace(scene, o, d, t, k_trace, max_depth,
-                                  closest_hit_fn=hit_fn, remat=True)
+        o, d, t = get_rays(cam, seed, pixel_ids, s)
+        rad, _ = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
+                                  max_depth, closest_hit_fn=hit_fn, remat=True)
         return rad
 
     # first sample seeds the accumulator so its device-varying type under
     # shard_map matches the loop body's output
-    acc0 = sample(0)
-    return jax.lax.fori_loop(1, spp_local, lambda s, a: a + sample(s), acc0)
+    acc0 = sample(sample_base)
+    return jax.lax.fori_loop(1, spp_local,
+                             lambda s, a: a + sample(sample_base + s), acc0)
 
 
 def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None):
@@ -51,11 +56,10 @@ def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None):
         raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
     spp_local = spp // n_sample
 
-    def shard_fn(scene, cam, pixel_ids, key):
-        ray_idx = jax.lax.axis_index(RAYS_AXIS)
+    def shard_fn(scene, cam, pixel_ids, seed):
         smp_idx = jax.lax.axis_index(SAMPLE_AXIS)
-        k = jax.random.fold_in(jax.random.fold_in(key, ray_idx), smp_idx)
-        acc = _local_radiance_sum(scene, cam, pixel_ids, k, spp_local,
+        acc = _local_radiance_sum(scene, cam, pixel_ids, seed,
+                                  smp_idx * spp_local, spp_local,
                                   max_depth, hit_fn)
         acc = jax.lax.psum(acc, SAMPLE_AXIS)
         return acc / spp
@@ -90,7 +94,7 @@ def render_distributed(scene, camera: Camera, mesh=None, seed: int = 0,
 
     render_fn = make_distributed_renderer(mesh, spp, max_depth, hit_fn)
     img = render_fn(scene, camera.constants(dtype), pixel_ids,
-                    jax.random.PRNGKey(seed))
+                    jnp.uint32(seed))
     return np.asarray(img)[:n_pixels].reshape(h, w, 3)
 
 
@@ -115,10 +119,8 @@ def make_distributed_train_step(mesh, spp: int, max_depth: int,
         raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
     spp_local = spp // n_sample
 
-    def shard_fn(scene, cam, pixel_ids, target, key):
-        ray_idx = jax.lax.axis_index(RAYS_AXIS)
+    def shard_fn(scene, cam, pixel_ids, target, seed):
         smp_idx = jax.lax.axis_index(SAMPLE_AXIS)
-        k = jax.random.fold_in(jax.random.fold_in(key, ray_idx), smp_idx)
 
         names = [f.name for f in _dc.fields(scene)
                  if not f.metadata.get("static", False)]
@@ -133,8 +135,9 @@ def make_distributed_train_step(mesh, spp: int, max_depth: int,
             return _dc.replace(scene, **updates)
 
         def local_loss(diff_leaves):
-            acc = _local_radiance_sum(rebuild(diff_leaves), cam, pixel_ids, k,
-                                      spp_local, max_depth, hit_fn)
+            acc = _local_radiance_sum(rebuild(diff_leaves), cam, pixel_ids,
+                                      seed, smp_idx * spp_local, spp_local,
+                                      max_depth, hit_fn)
             # differentiable collective: assemble the full-spp mean across the
             # sample axis INSIDE the loss so the SSE is exact (not a sum of
             # per-chunk SSEs); autodiff transposes the psum correctly.
@@ -143,9 +146,15 @@ def make_distributed_train_step(mesh, spp: int, max_depth: int,
 
         loss, g = jax.value_and_grad(local_loss)(diff)
         # loss is identical across the sample axis (post-psum); total SSE needs
-        # reduction over pixel shards only. Gradients are partial in both axes.
+        # reduction over pixel shards only.
         loss = jax.lax.psum(loss, RAYS_AXIS)
-        g = jax.lax.psum(g, (RAYS_AXIS, SAMPLE_AXIS))
+        # g needs NO explicit collective: shard_map autodiff (jax>=0.9 varying
+        # -axes tracking) already psums the cotangent of a replicated (P())
+        # input across every mesh axis — THAT is the ICI gradient all-reduce
+        # of SURVEY.md §5.8, inserted at transpose time and overlapped by XLA
+        # with the rest of the backward wavefront. An explicit psum here would
+        # double-count by a factor of n_devices (verified on the 8-device CPU
+        # mesh: |g| scaled exactly with mesh size before this was removed).
         new_diff = [p - learning_rate * gp for p, gp in zip(diff, g)]
         return rebuild(new_diff), loss
 

@@ -23,35 +23,83 @@ from .ops import integrator
 
 
 def _auto_chunk(scene, target_bytes: int = 192 * 1024 * 1024) -> int:
-    """Pick a pixel-chunk size so the (rays x primitives) broadcast fits."""
-    prims = max(scene.num_spheres, scene.quad_mat.shape[0], 1)
-    per_ray = prims * 4 * 8  # a few (R,P) f32 temporaries
+    """Pick a pixel-chunk size so the widest per-ray broadcast fits.
+
+    Brute force materializes (rays x spheres) and (rays x quads) temporaries;
+    media add (rays x media x 3) for the local-frame slab test; the BVH path
+    gathers per-node rows but its per-ray live set is bounded by a few node
+    rows, so the brute-force terms dominate sizing whenever they exist.
+    """
+    per_ray = 0
+    if scene.has_bvh:
+        per_ray += 16 * 4 * 4  # ~16 gathered f32 rows live per while-loop step
+    else:
+        per_ray += (scene.num_spheres + scene.num_quads) * 4 * 8
+    if scene.has_media:
+        per_ray += scene.med_mat.shape[0] * 3 * 4 * 6  # (R,M,3) temporaries
+    per_ray = max(per_ray, 64)
     chunk = max(1024, min(1 << 16, target_bytes // per_ray))
     # round down to a multiple of 1024 for clean tiling
     return max(1024, (chunk // 1024) * 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "max_depth", "hit_fn"))
-def render_chunk(scene, cam: CameraConstants, pixel_ids, key, spp: int,
-                 max_depth: int, hit_fn=None):
-    """Sum of ``spp`` radiance samples for each pixel id. Returns
-    (radiance_sum (C,3), rays_traced scalar)."""
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "max_depth", "hit_fn"))
+def render_chunk(scene, cam: CameraConstants, pixel_ids, seed, sample_offset,
+                 spp: int, max_depth: int, hit_fn=None):
+    """Sum of ``spp`` radiance samples for each pixel id, using global sample
+    indices ``sample_offset .. sample_offset+spp``. Because the RNG is
+    addressed by (seed, pixel, sample) — not by chunk or key chains — the
+    result is bitwise independent of how pixels are chunked, and progressive
+    accumulation with growing offsets equals one big render exactly.
+
+    Returns (radiance_sum (C,3), rays_traced scalar)."""
     C = pixel_ids.shape[0]
     dtype = cam.center.dtype
 
     def body(s, carry):
         acc, nrays = carry
-        k = jax.random.fold_in(key, s)
-        k_cam, k_trace = jax.random.split(k)
-        o, d, t = get_rays(cam, k_cam, pixel_ids)
-        rad, nb = integrator.trace(scene, o, d, t, k_trace, max_depth,
-                                   closest_hit_fn=hit_fn)
+        sample = sample_offset + s
+        o, d, t = get_rays(cam, seed, pixel_ids, sample)
+        rad, nb = integrator.trace(scene, o, d, t, (seed, pixel_ids, sample),
+                                   max_depth, closest_hit_fn=hit_fn)
         # float32 counter: exact enough for rays/s and safe from int32 overflow
         return acc + rad, nrays + jnp.sum(nb).astype(jnp.float32)
 
     acc0 = jnp.zeros((C, 3), dtype)
     acc, nrays = jax.lax.fori_loop(0, spp, body, (acc0, jnp.zeros((), jnp.float32)))
     return acc, nrays
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "max_depth", "hit_fn"))
+def _occupancy_chunk(scene, cam, pixel_ids, seed, spp, max_depth, hit_fn=None):
+    def body(s, acc):
+        o, d, t = get_rays(cam, seed, pixel_ids, s)
+        _, _, occ = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
+                                     max_depth, closest_hit_fn=hit_fn,
+                                     with_occupancy=True)
+        return acc + occ
+
+    return jax.lax.fori_loop(0, spp, body,
+                             jnp.zeros((max_depth,), jnp.int32))
+
+
+def measure_occupancy(scene, camera: Camera, n_pixels: int = 8192,
+                      spp: int = 8, max_depth: Optional[int] = None,
+                      seed: int = 0, hit_fn=None) -> np.ndarray:
+    """Per-bounce live-ray fraction on a pixel sample — the wavefront
+    divergence telemetry of SURVEY.md §7 (hard part #1). fraction[d] is the
+    share of lanes still tracing when bounce d begins; the area under the
+    curve is the achieved occupancy of a dense depth-scan integrator, and the
+    signal that decides whether spp-major batching/compaction pays."""
+    max_depth = max_depth or camera.max_depth
+    total = camera.image_width * camera.image_height
+    n = min(n_pixels, total)
+    stride = max(1, total // n)
+    ids = jnp.arange(0, n * stride, stride, dtype=jnp.int32) % total
+    occ = _occupancy_chunk(scene, camera.constants(jnp.float32), ids,
+                           jnp.uint32(seed), spp, max_depth, hit_fn)
+    return np.asarray(occ, np.float64) / (n * spp)
 
 
 @dataclasses.dataclass
@@ -64,17 +112,51 @@ class RenderStats:
         return self.rays / self.seconds if self.seconds > 0 else 0.0
 
 
+def use_megakernel_default(scene, dtype, hit_fn) -> bool:
+    """Production fast-path policy: the fused Pallas megakernel renders every
+    scene it supports when running on real TPU hardware in f32 with no custom
+    hit kernel. CPU runs keep the XLA path (the Pallas interpreter is a
+    debugging tool, not a renderer)."""
+    from .ops import megakernel
+
+    return (
+        hit_fn is None
+        and dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and megakernel.supports(scene)
+    )
+
+
 def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
            max_depth: Optional[int] = None, pixel_chunk: Optional[int] = None,
            hit_fn=None, dtype=jnp.float32, progress=None,
+           use_megakernel: Optional[bool] = None, sample_offset: int = 0,
            ) -> Tuple[np.ndarray, RenderStats]:
     """Offline render -> (image (H,W,3) linear float, stats).
 
     Equivalent of reference ``render()`` (src/renderer.rs:12-75) minus the PNG
-    encode (see utils/image_io.py).
+    encode (see utils/image_io.py). On TPU, supported scenes run the fused
+    Pallas megakernel (ops/megakernel.py); everything else takes the XLA
+    wavefront path.
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
+
+    if use_megakernel is None:
+        use_megakernel = use_megakernel_default(scene, dtype, hit_fn)
+    if use_megakernel:
+        from .ops import megakernel
+
+        t0 = _time.perf_counter()
+        image, nrays = megakernel.render_fast(scene, camera, seed=seed,
+                                              spp=spp, max_depth=max_depth,
+                                              sample_offset=sample_offset,
+                                              with_stats=True)
+        stats = RenderStats(seconds=_time.perf_counter() - t0, rays=int(nrays))
+        if progress is not None:
+            n = camera.image_width * camera.image_height
+            progress(n, n)
+        return image.astype(np.float64), stats
     if hit_fn is None:
         from .ops.bvh_traverse import auto_closest_hit
 
@@ -85,7 +167,8 @@ def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
     chunk = pixel_chunk or _auto_chunk(scene)
     chunk = min(chunk, n_pixels)
 
-    key = jax.random.PRNGKey(seed)
+    seed_arr = jnp.uint32(seed)
+    offset_arr = jnp.int32(sample_offset)
     out = np.zeros((n_pixels, 3), np.float64)
     stats = RenderStats()
     t0 = _time.perf_counter()
@@ -93,9 +176,8 @@ def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
     for start in range(0, n_pixels, chunk):
         ids = np.arange(start, start + chunk, dtype=np.int32)
         ids = np.minimum(ids, n_pixels - 1)  # pad tail chunk with last pixel
-        k = jax.random.fold_in(key, start)
-        acc, nrays = render_chunk(scene, cam, jnp.asarray(ids), k, spp,
-                                  max_depth, hit_fn)
+        acc, nrays = render_chunk(scene, cam, jnp.asarray(ids), seed_arr,
+                                  offset_arr, spp, max_depth, hit_fn)
         n_valid = min(chunk, n_pixels - start)
         out[start:start + n_valid] = np.asarray(acc)[:n_valid]
         stats.rays += int(nrays)
@@ -130,12 +212,15 @@ def progressive_step(scene, camera: Camera, state: ProgressiveState,
                      pixel_chunk: Optional[int] = None, hit_fn=None,
                      dtype=jnp.float32) -> ProgressiveState:
     """Add ``samples`` new samples per pixel with incremental-mean update
-    (renderer.rs:114: avg += (new - avg) / n)."""
-    # Offset the RNG stream so successive steps use fresh samples.
-    img, _ = render(scene, camera,
-                    seed=state.seed + 7919 * (state.num_samples + 1),
+    (renderer.rs:114: avg += (new - avg) / n).
+
+    Samples are addressed globally by index, so a progressive render (and a
+    checkpoint-resumed one) accumulates to EXACTLY the same image as a single
+    offline render of the same total spp."""
+    img, _ = render(scene, camera, seed=state.seed,
                     spp=samples, max_depth=max_depth, pixel_chunk=pixel_chunk,
-                    hit_fn=hit_fn, dtype=dtype)
+                    hit_fn=hit_fn, dtype=dtype,
+                    sample_offset=state.num_samples)
     n0, n1 = state.num_samples, state.num_samples + samples
     accum = state.accum + (img - state.accum) * (samples / n1)
     return ProgressiveState(accum=accum, num_samples=n1, seed=state.seed)

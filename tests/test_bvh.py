@@ -97,9 +97,10 @@ class TestTraversal:
         o = jnp.asarray(rng.uniform(-12, 12, (R, 3)))
         d = jnp.asarray(rng.normal(size=(R, 3)))
         t = jnp.asarray(rng.uniform(0, 1, R))
-        key = jax.random.PRNGKey(11)
-        h1 = intersect.closest_hit(scene_b, o, d, t, key)
-        h2 = closest_hit_bvh(scene_t, o, d, t, key)
+        from rust_tracing_tpu.ops.hashrng import CounterRng
+        rngb = CounterRng(11, jnp.arange(o.shape[0], dtype=jnp.int32), 0, 0)
+        h1 = intersect.closest_hit(scene_b, o, d, t, rngb)
+        h2 = closest_hit_bvh(scene_t, o, d, t, rngb)
         np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
         m = np.asarray(h1.hit)
         np.testing.assert_allclose(np.asarray(h1.t)[m], np.asarray(h2.t)[m],

@@ -34,10 +34,9 @@ def test_integer_height_truncation():
 def test_ray_statistics():
     cam = Camera.create(CORNELL).constants(jnp.float32)
     pixel_ids = jnp.asarray([0, 599, 600 * 600 - 1, 1234], jnp.int32)
-    keys = jax.random.split(jax.random.PRNGKey(0), 3000)
     os_, ds_, ts_ = [], [], []
-    for k in keys[:300]:
-        o, d, t = get_rays(cam, k, pixel_ids)
+    for s in range(300):
+        o, d, t = get_rays(cam, 0, pixel_ids, s)
         os_.append(np.asarray(o)); ds_.append(np.asarray(d)); ts_.append(np.asarray(t))
     o = np.stack(os_); d = np.stack(ds_); t = np.stack(ts_)
 
@@ -67,8 +66,8 @@ def test_defocus_disk():
         defocus_angle=2.0, focus_dist=10.0,
     )
     cam = Camera.create(s).constants(jnp.float32)
-    pid = jnp.zeros((2000,), jnp.int32)
-    o, d, t = get_rays(cam, jax.random.PRNGKey(5), pid)
+    pid = jnp.arange(2000, dtype=jnp.int32)  # distinct RNG addresses
+    o, d, t = get_rays(cam, 5, pid, 0)
     o = np.asarray(o)
     r = np.linalg.norm(o - np.array([0, 0, 10.0]), axis=-1)
     defocus_radius = 10.0 * np.tan(np.deg2rad(1.0))

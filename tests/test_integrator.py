@@ -15,7 +15,7 @@ def _trace_one(scene, o, d, depth, seed=0, dtype=jnp.float64):
     o = jnp.asarray(o, dtype).reshape(1, 3)
     d = jnp.asarray(d, dtype).reshape(1, 3)
     rad, nb = integrator.trace(scene, o, d, jnp.zeros(1, dtype),
-                               jax.random.PRNGKey(seed), depth)
+                               (seed, jnp.zeros(1, jnp.int32), 0), depth)
     return np.asarray(rad)[0], int(nb[0])
 
 

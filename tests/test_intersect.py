@@ -7,6 +7,11 @@ import pytest
 
 from rust_tracing_tpu import SceneBuilder, Transform, compile_scene
 from rust_tracing_tpu.ops import intersect
+from rust_tracing_tpu.ops.hashrng import CounterRng
+
+
+def _rngb(seed, n=1):
+    return CounterRng(seed, jnp.arange(n, dtype=jnp.int32), 0, 0)
 
 import oracles
 
@@ -147,7 +152,7 @@ class TestClosestHit:
         R = 512
         o = jnp.asarray(rng.uniform(-8, 8, (R, 3)))
         d = jnp.asarray(rng.normal(size=(R, 3)))
-        hit = intersect.closest_hit(scene, o, d, jnp.zeros(R), jax.random.PRNGKey(0))
+        hit = intersect.closest_hit(scene, o, d, jnp.zeros(R), _rngb(0, R))
         h = np.asarray(hit.hit)
         n = np.asarray(hit.normal)
         dn = np.sum(np.asarray(d) * n, -1)
@@ -164,7 +169,7 @@ class TestClosestHit:
         scene = compile_scene(b, dtype=jnp.float64)
         hit = intersect.closest_hit(
             scene, jnp.zeros((1, 3)), jnp.array([[0.0, 0.0, 1.0]]),
-            jnp.zeros(1), jax.random.PRNGKey(0))
+            jnp.zeros(1), _rngb(0))
         np.testing.assert_allclose(np.asarray(hit.t), [3.0], rtol=1e-12)
 
     def test_medium_sphere_entry_exit(self):
@@ -175,10 +180,10 @@ class TestClosestHit:
         R = 64
         o = jnp.zeros((R, 3))
         d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (R, 1))
-        keys = jax.random.split(jax.random.PRNGKey(3), R)
         ts = []
-        for k in keys:
-            hit = intersect.closest_hit(scene, o[:1], d[:1], jnp.zeros(1), k)
+        for k in range(R):
+            hit = intersect.closest_hit(scene, o[:1], d[:1], jnp.zeros(1),
+                                        _rngb(k))
             assert bool(hit.hit[0])
             assert not bool(hit.is_surface[0])
             ts.append(float(hit.t[0]))
@@ -195,7 +200,7 @@ class TestClosestHit:
         scene = compile_scene(b, dtype=jnp.float64)
         hit = intersect.closest_hit(
             scene, jnp.zeros((1, 3)), jnp.array([[0.0, 0.0, 1.0]]),
-            jnp.zeros(1), jax.random.PRNGKey(1))
+            jnp.zeros(1), _rngb(1))
         assert bool(hit.is_surface[0])
         np.testing.assert_allclose(np.asarray(hit.t), [2.0], rtol=1e-12)
 
@@ -207,7 +212,7 @@ class TestClosestHit:
         scene = compile_scene(b, dtype=jnp.float64)
         hit = intersect.closest_hit(
             scene, jnp.array([[-5.0, 0.0, 0.0]]), jnp.array([[1.0, 0.0, 0.0]]),
-            jnp.zeros(1), jax.random.PRNGKey(2))
+            jnp.zeros(1), _rngb(2))
         # rotated cube corner reaches sqrt(2) along x
         assert bool(hit.hit[0])
         np.testing.assert_allclose(np.asarray(hit.t), [5.0 - np.sqrt(2.0)],

@@ -13,12 +13,12 @@ from rust_tracing_tpu.ops import megakernel
 
 
 def test_supports_flags():
-    b, _ = builders.cornell_box()
-    assert megakernel.supports(compile_scene(b))
-    b2, _ = builders.two_perlin_spheres()
-    assert not megakernel.supports(compile_scene(b2))
-    b3, _ = builders.earth()
-    assert not megakernel.supports(compile_scene(b3))
+    # Full coverage: every reference scene family runs in the kernel
+    # (noise via hash-lattice gradients, images via mipped lane gathers).
+    for build in (builders.cornell_box, builders.two_perlin_spheres,
+                  builders.earth):
+        b, _ = build()
+        assert megakernel.supports(compile_scene(b))
 
 
 def test_background_exact():

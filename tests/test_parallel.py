@@ -34,17 +34,21 @@ def test_eight_virtual_devices_present():
 
 @pytest.mark.parametrize("sample_par", [1, 2, 4])
 def test_sharded_render_matches_single_device(sample_par):
+    """RNG is addressed by (seed, pixel, sample) — mesh coordinates never
+    enter it — so any mesh shape renders the SAME samples as one device.
+    rays-only sharding is bitwise identical; splitting the sample axis changes
+    only the float summation tree (psum of partial sums), so the bound is
+    float associativity, not Monte-Carlo noise."""
     scene, camera = _scene()
     mesh8 = mesh_mod.make_mesh(sample_parallelism=sample_par)
     mesh1 = mesh_mod.make_mesh(jax.devices()[:1])
     img8 = render_dist.render_distributed(scene, camera, mesh8, seed=5)
     img1 = render_dist.render_distributed(scene, camera, mesh1, seed=5)
-    # identical RNG per (pixel, sample) regardless of mesh shape?  Keys fold in
-    # the shard indices, so cross-mesh bitwise equality is not expected —
-    # compare Monte-Carlo statistics instead (same estimator distribution).
     assert img8.shape == img1.shape
-    assert abs(img8.mean() - img1.mean()) < 0.03
-    assert np.isfinite(img8).all()
+    if sample_par == 1:
+        np.testing.assert_array_equal(img8, img1)
+    else:
+        np.testing.assert_allclose(img8, img1, rtol=3e-6, atol=3e-7)
 
 
 def test_sharded_render_deterministic():
@@ -71,14 +75,17 @@ def test_distributed_grads_match_psum_identity():
         step = render_dist.make_distributed_train_step(
             mesh, spp=4, max_depth=3, learning_rate=0.1)
         new_scene, loss = step(scene, cam, pixel_ids, target,
-                               jax.random.PRNGKey(0))
+                               jnp.uint32(0))
         results[sp] = (new_scene, float(loss))
 
-    # Different mesh shapes fold different shard indices into the RNG, so
-    # compare within-mesh reproducibility + cross-mesh statistics:
+    # Mesh shape never enters the RNG: the 8-device and 1-device steps compute
+    # the same estimator on the same samples; only float-sum association
+    # differs (psum trees + the reverse-mode transpose of the sample split).
     assert np.isfinite(results[2][1]) and np.isfinite(results[1][1])
-    rel = abs(results[2][1] - results[1][1]) / max(results[1][1], 1e-9)
-    assert rel < 0.15  # same MC estimator, different sample draws
+    np.testing.assert_allclose(results[2][1], results[1][1], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(results[2][0].tex_rgb),
+                               np.asarray(results[1][0].tex_rgb),
+                               rtol=1e-3, atol=1e-6)
 
     # and the update must have moved the differentiable leaves
     moved = np.abs(np.asarray(results[2][0].tex_rgb) -
@@ -96,17 +103,17 @@ def test_distributed_train_reduces_loss():
 
     # target: render of the true scene; start: perturbed checker color
     render_fn = render_dist.make_distributed_renderer(mesh, spp=4, max_depth=3)
-    target = render_fn(scene, cam, pixel_ids, jax.random.PRNGKey(0))
+    target = render_fn(scene, cam, pixel_ids, jnp.uint32(0))
 
     wrong = np.asarray(scene.tex_rgb).copy()
     wrong[1] = [0.1, 0.1, 0.9]
     bad = dataclasses.replace(scene, tex_rgb=jnp.asarray(wrong))
 
     step = render_dist.make_distributed_train_step(
-        mesh, spp=4, max_depth=3, learning_rate=0.002, trainable=("tex_rgb",))
+        mesh, spp=4, max_depth=3, learning_rate=0.016, trainable=("tex_rgb",))
     losses = []
     s = bad
     for i in range(6):
-        s, loss = step(s, cam, pixel_ids, target, jax.random.PRNGKey(0))
+        s, loss = step(s, cam, pixel_ids, target, jnp.uint32(0))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.1
