@@ -132,13 +132,19 @@ def main(argv=None) -> int:
                 print(f"Resumed {args.checkpoint} at {state.num_samples} spp")
         if state is None:
             state = progressive_init(camera, seed=args.seed)
+        from .utils.viewer import TerminalViewer
+
+        viewer = TerminalViewer()
         t0 = time.perf_counter()
         while state.num_samples < camera.samples_per_pixel:
             state = progressive_step(scene, camera, state, samples=1,
                                      dtype=dtype)
             n = state.num_samples
-            print(f"\rspp {n}/{camera.samples_per_pixel} "
-                  f"({time.perf_counter() - t0:.1f}s)", end="", file=sys.stderr)
+            status = (f"spp {n}/{camera.samples_per_pixel} "
+                      f"({time.perf_counter() - t0:.1f}s)")
+            viewer.show(state.accum, status)
+            if not viewer.enabled:
+                print(f"\r{status}", end="", file=sys.stderr)
             if n % args.preview_every == 0 or n == camera.samples_per_pixel:
                 write_png(out_png, state.accum)
             if args.checkpoint and n % args.checkpoint_every == 0:

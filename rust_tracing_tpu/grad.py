@@ -29,28 +29,38 @@ from .camera import Camera, CameraConstants, get_rays
 from .ops import integrator
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "max_depth", "hit_fn"))
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "max_depth", "hit_fn", "remat"))
 def radiance_mean_rays(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
-                       max_depth: int, hit_fn=None):
+                       max_depth: int, hit_fn=None, remat: bool = False):
     """(mean radiance (C,3), rays traced ()) over ``spp`` fixed-RNG samples.
 
     RNG is the counter-based generator addressed by (seed, pixel, sample,
     bounce) — the estimator is a deterministic function of the scene for a
     fixed seed, which is what makes finite-difference gradient checks exact.
 
-    Differentiable w.r.t. ``scene``; each bounce is rematerialized in the
-    backward pass so memory stays O(rays), not O(rays x depth x prims). The
+    Differentiable w.r.t. ``scene``. The closest-hit search is detached with
+    an O(rays) differentiable winner recompute (ops/intersect.py), so the
+    per-bounce residuals the backward pass stores are O(rays) — the default
+    is therefore to STORE them (remat=False: backward costs one transpose,
+    not a full forward recompute per bounce). ``remat=True`` trades that
+    memory back for FLOPs (jax.checkpoint per bounce) for huge batches. The
     ray counter is an exact count of scene queries (for honest rays/s).
     """
     C = pixel_ids.shape[0]
     dtype = cam.center.dtype
 
-    def body(s, carry):
-        acc, nrays = carry
+    @jax.checkpoint
+    def sample_rad(scene_, s):
         o, d, t = get_rays(cam, seed, pixel_ids, s)
-        rad, nb = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
-                                   max_depth, closest_hit_fn=hit_fn,
-                                   remat=True)
+        return integrator.trace(scene_, o, d, t, (seed, pixel_ids, s),
+                                max_depth, closest_hit_fn=hit_fn, remat=remat)
+
+    def body(s, carry):
+        # per-sample checkpoint: reverse-mode keeps ONE sample's residuals
+        # live at a time instead of stacking all spp of them
+        acc, nrays = carry
+        rad, nb = sample_rad(scene, s)
         return acc + rad, nrays + jnp.sum(nb).astype(jnp.float32)
 
     acc, nrays = jax.lax.fori_loop(
@@ -65,10 +75,68 @@ def radiance_mean(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
                               hit_fn)[0]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "max_depth"))
+def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
+                              records, spp: int, max_depth: int):
+    """Search-free differentiable radiance mean from recorded hit winners
+    (ops/replay.py). ``records``: (spp, max_depth, C) int32 aligned with
+    ``pixel_ids``. O(rays) forward AND backward — no (rays x prims) search
+    appears anywhere in the autodiff graph."""
+    from .ops import replay as replay_mod
+
+    C = pixel_ids.shape[0]
+    dtype = cam.center.dtype
+
+    @jax.checkpoint
+    def sample_rad(scene_, s):
+        o, d, t = get_rays(cam, seed, pixel_ids, s)
+        return replay_mod.trace_replay(scene_, o, d, t, (seed, pixel_ids, s),
+                                       records[s], max_depth)
+
+    def body(s, carry):
+        # per-sample checkpoint: reverse-mode keeps ONE sample's residuals
+        # live at a time instead of stacking all spp of them
+        acc, nrays = carry
+        rad, nb = sample_rad(scene, s)
+        return acc + rad, nrays + jnp.sum(nb).astype(jnp.float32)
+
+    acc, nrays = jax.lax.fori_loop(
+        0, spp, body, (jnp.zeros((C, 3), dtype), jnp.zeros((), jnp.float32)))
+    return acc / spp, nrays
+
+
+def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
+                pixel_ids=None, hit_fn=None, dtype=jnp.float32):
+    """Per-(sample, bounce) hit-winner records for the replay pipeline.
+
+    On TPU this is the Pallas recorder (megakernel.record_paths) over the
+    full image (subset by ``pixel_ids`` afterwards); elsewhere the XLA search
+    produces identical records. Records are data, not a differentiable
+    quantity (the search is piecewise-constant — SURVEY.md §7).
+    """
+    from .ops import megakernel as mk
+    from .ops import replay as replay_mod
+
+    n_pix = camera.image_width * camera.image_height
+    if jax.default_backend() == "tpu" and mk.supports(scene):
+        recs = mk.record_paths(scene, camera, seed, spp, max_depth)
+        if pixel_ids is not None:
+            recs = jnp.take(recs, jnp.asarray(pixel_ids), axis=2)
+        return recs
+    cam = camera.constants(dtype)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    return jax.lax.stop_gradient(
+        replay_mod.records_xla(scene, cam, pixel_ids, jnp.uint32(seed), spp,
+                               max_depth, hit_fn))
+
+
 def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
                   spp: Optional[int] = None, max_depth: Optional[int] = None,
                   pixel_ids=None, hit_fn=None, dtype=jnp.float32,
-                  with_rays: bool = False):
+                  with_rays: bool = False, remat: bool = False,
+                  use_recorder: Optional[bool] = None):
     """(loss, d loss / d scene) for ``loss_fn(image_flat (C,3), pixel_ids)``.
 
     ``pixel_ids`` defaults to the full image. The returned gradient is a
@@ -76,6 +144,10 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     ``with_rays``, returns (loss, grad, rays_traced) where rays_traced is the
     exact forward scene-query count (the backward pass rematerializes the same
     paths, so fwd+bwd rays/s is conventionally measured against this count).
+
+    ``use_recorder`` selects the record/replay pipeline (default: on for TPU
+    backends): the hit SEARCH runs once in the fused Pallas recorder, and the
+    differentiable pass replays the recorded winners with O(rays) work.
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
@@ -96,17 +168,17 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     diff = [l for l, d in zip(leaves, is_diff) if d]
     frozen = [l for l, d in zip(leaves, is_diff) if not d]
 
-    def rebuild(diff_leaves):
-        it_d, it_f = iter(diff_leaves), iter(frozen)
-        merged = [next(it_d) if d else next(it_f) for d in is_diff]
-        return jax.tree_util.tree_unflatten(treedef, merged)
+    if use_recorder is None:
+        use_recorder = jax.default_backend() == "tpu"
+    records = None
+    if use_recorder:
+        records = get_records(scene, camera, seed, spp, max_depth,
+                              pixel_ids=pixel_ids, hit_fn=hit_fn, dtype=dtype)
 
-    def scalar_loss(diff_leaves):
-        img, nrays = radiance_mean_rays(rebuild(diff_leaves), cam, pixel_ids,
-                                        seed_arr, spp, max_depth, hit_fn)
-        return loss_fn(img, pixel_ids), nrays
-
-    (loss, nrays), dg = jax.value_and_grad(scalar_loss, has_aux=True)(diff)
+    loss, nrays, dg = _vag(tuple(diff), tuple(frozen), treedef,
+                           tuple(is_diff), cam, pixel_ids, seed_arr, records,
+                           spp=spp, max_depth=max_depth, hit_fn=hit_fn,
+                           remat=remat, loss_fn=loss_fn)
     it_g = iter(dg)
     grad_leaves = [next(it_g) if d else jnp.zeros_like(l)
                    for l, d in zip(leaves, is_diff)]
@@ -114,6 +186,36 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     if with_rays:
         return loss, grad, float(nrays)
     return loss, grad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("treedef", "is_diff", "spp", "max_depth", "hit_fn",
+                     "remat", "loss_fn"))
+def _vag(diff, frozen, treedef, is_diff, cam, pixel_ids, seed_arr, records,
+         spp, max_depth, hit_fn, remat, loss_fn):
+    """Jitted value-and-grad core of loss_and_grad: cached across calls for a
+    fixed (scene structure, workload, loss_fn), so repeated training steps
+    pay tracing once. ``records is None`` selects the direct pipeline."""
+
+    def rebuild(diff_leaves):
+        it_d, it_f = iter(diff_leaves), iter(frozen)
+        merged = [next(it_d) if d else next(it_f) for d in is_diff]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    def scalar_loss(diff_leaves):
+        if records is not None:
+            img, nrays = radiance_mean_replay_rays(
+                rebuild(diff_leaves), cam, pixel_ids, seed_arr, records, spp,
+                max_depth)
+        else:
+            img, nrays = radiance_mean_rays(rebuild(diff_leaves), cam,
+                                            pixel_ids, seed_arr, spp,
+                                            max_depth, hit_fn, remat=remat)
+        return loss_fn(img, pixel_ids), nrays
+
+    (loss, nrays), dg = jax.value_and_grad(scalar_loss, has_aux=True)(diff)
+    return loss, nrays, dg
 
 
 def l2_to_target(target_flat):

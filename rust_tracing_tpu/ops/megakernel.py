@@ -44,7 +44,6 @@ on the XLA path.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import Optional
 
@@ -56,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import T_MIN, QUAD_DENOM_EPS
 from ..models.scene import (DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC, LAMBERTIAN,
-                            METAL, MED_BOX, MED_SPHERE, TEX_CHECKER,
-                            TEX_IMAGE, TEX_NOISE, TEX_SOLID)
+                            METAL, MED_BOX, TEX_CHECKER, TEX_IMAGE,
+                            TEX_NOISE)
 from . import hashrng
 from .hashrng import CounterRng
 
@@ -248,10 +247,18 @@ class _KernelBVH:
     prim_stream: np.ndarray  # (P,2) ptype pidx in leaf order
 
 
-def build_kernel_bvh(scene, leaf_size: int = 8, seed: int = 0) -> Optional[_KernelBVH]:
-    """Median-split BVH (bvh.rs:31-66 semantics) flattened with leaf RUNS:
-    leaves hold up to ``leaf_size`` primitives stored contiguously in a
-    reordered stream, so the kernel tests them with one dynamic-bound loop."""
+def build_kernel_bvh(scene, leaf_size: int = 16, seed: int = 0,
+                     axis_mode: str = "largest") -> Optional[_KernelBVH]:
+    """Median-split BVH flattened with leaf RUNS: leaves hold up to
+    ``leaf_size`` primitives stored contiguously in a reordered stream, so
+    the kernel tests them with one dynamic-bound loop.
+
+    The reference picks a RANDOM split axis (bvh.rs:32); that is a tree-
+    quality decision, not a semantics one — traversal results are identical
+    for any tree. For packet traversal the largest-extent axis produces far
+    tighter sibling boxes (measured: fewer leaves pass the whole-tile AABB
+    test), so that is the default; ``axis_mode='random'`` reproduces the
+    reference's build order."""
     from ..models import bvh as bvh_mod
 
     sv = np.asarray(scene.sph_valid)
@@ -293,7 +300,10 @@ def build_kernel_bvh(scene, leaf_size: int = 8, seed: int = 0) -> Optional[_Kern
             stream.extend((int(ptype[p]), int(pidx[p])) for p in order)
             return emit(lo, hi, start, len(order))
         me = emit(lo, hi, 0, 0)
-        axis = int(rng.integers(0, 3))  # bvh.rs:32
+        if axis_mode == "random":
+            axis = int(rng.integers(0, 3))  # bvh.rs:32
+        else:
+            axis = int(np.argmax(hi - lo))
         sorted_order = order[np.argsort(box_min[order][:, axis], kind="stable")]
         half = len(order) // 2
         rec(sorted_order[:half])
@@ -445,7 +455,7 @@ def _turbulence(px, py, pz, depth=7):
 # ----------------------------------------------------------------- the kernel
 def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
                  img_dims, sample_offset=0, origin_eps_abs=1e-4,
-                 origin_eps_rel=2e-4):
+                 origin_eps_rel=2e-4, record_mode=False):
     """Build the persistent path-regeneration kernel.
 
     dims: (S, Q, M, n_mat_chunks, n_tex_chunks, n_bvh_nodes)
@@ -472,7 +482,11 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
 
     def kernel(sph_f, sph_m, quad_f, quad_m, med_f, med_i,
                mat_tab, tex_tab, img_tab, bvh_f, bvh_i, prim_i, seed_ref,
-               out_r, out_g, out_b, out_n):
+               *outs):
+        if record_mode:
+            (out_rec,) = outs
+        else:
+            out_r, out_g, out_b, out_n = outs
         # SMEM tables arrive FLATTENED to 1-D: Mosaic pads 2-D SMEM rows to
         # 512 bytes, which blows the 1 MB SMEM budget at final_scene sizes.
         sphf = lambda i, k: sph_f[i * 8 + k]
@@ -559,7 +573,7 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
         def sphere_test(i, st):
             """sphere.rs:59-89 + moving-center lerp :60-64."""
             (ox, oy, oz, dx, dy, dz, rtime, a_len, inv_a,
-             t_best, w_mat, w_nx, w_ny, w_nz, w_med) = st
+             t_best, w_mat, w_nx, w_ny, w_nz, w_med, w_kind, w_idx) = st
             ccx = sphf(i, 0) + sphf(i, 5) * rtime
             ccy = sphf(i, 1) + sphf(i, 6) * rtime
             ccz = sphf(i, 2) + sphf(i, 7) * rtime
@@ -582,13 +596,16 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             w_ny = jnp.where(hit, (oy + root * dy - ccy) * inv_r, w_ny)
             w_nz = jnp.where(hit, (oz + root * dz - ccz) * inv_r, w_nz)
             w_med = jnp.where(hit, 0.0, w_med)
+            if record_mode:
+                w_kind = jnp.where(hit, 1, w_kind)
+                w_idx = jnp.where(hit, i, w_idx)
             return (ox, oy, oz, dx, dy, dz, rtime, a_len, inv_a,
-                    t_best, w_mat, w_nx, w_ny, w_nz, w_med)
+                    t_best, w_mat, w_nx, w_ny, w_nz, w_med, w_kind, w_idx)
 
         def quad_test(i, st):
             """quad.rs:96-133 (inclusive bounds, no back-face culling)."""
             (ox, oy, oz, dx, dy, dz, rtime, a_len, inv_a,
-             t_best, w_mat, w_nx, w_ny, w_nz, w_med) = st
+             t_best, w_mat, w_nx, w_ny, w_nz, w_med, w_kind, w_idx) = st
             nx, ny, nz = quadf(i, 9), quadf(i, 10), quadf(i, 11)
             denom = nx * dx + ny * dy + nz * dz
             safe = jnp.where(jnp.abs(denom) < 1e-30, jnp.float32(1e-30), denom)
@@ -613,15 +630,19 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             w_ny = jnp.where(hit, ny, w_ny)
             w_nz = jnp.where(hit, nz, w_nz)
             w_med = jnp.where(hit, 0.0, w_med)
+            if record_mode:
+                w_kind = jnp.where(hit, 2, w_kind)
+                w_idx = jnp.where(hit, i, w_idx)
             return (ox, oy, oz, dx, dy, dz, rtime, a_len, inv_a,
-                    t_best, w_mat, w_nx, w_ny, w_nz, w_med)
+                    t_best, w_mat, w_nx, w_ny, w_nz, w_med, w_kind, w_idx)
 
         def closest_surface(ox, oy, oz, dx, dy, dz, rtime, alive):
             a_len = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / jnp.maximum(a_len, 1e-30)
             t_best = jnp.where(alive, jnp.float32(jnp.inf), T_MIN)
             st = (ox, oy, oz, dx, dy, dz, rtime, a_len, inv_a,
-                  t_best, izero, fzero, fzero, fzero + 1.0, fzero)
+                  t_best, izero, fzero, fzero, fzero + 1.0, fzero,
+                  izero, izero)
             if not use_bvh:
                 if S:
                     st = jax.lax.fori_loop(0, S, sphere_test, st)
@@ -674,23 +695,11 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
 
                 _, st = jax.lax.while_loop(walk_cond, walk_body,
                                            (jnp.int32(0), st))
-            return st[9], st[10], st[11], st[12], st[13], st[14], a_len, inv_a
+            return (st[9], st[10], st[11], st[12], st[13], st[14],
+                    st[15], st[16], a_len, inv_a)
 
-        # ------------------------- persistent path-regeneration loop -------
-        def cond(state):
-            s_i, alive_f = state[0], state[1]
-            return jnp.any((alive_f > 0.0) | (s_i < spp - 1))
-
-        def body(state):
-            (s_i, alive_f, d_i, ox, oy, oz, dx, dy, dz, rtime,
-             tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
-             acc_r, acc_g, acc_b, acc_n) = state
-            alive = alive_f > 0.0
-
-            # -- regenerate dead lanes that still have samples to trace
-            regen = (~alive) & (s_i < spp - 1)
-            s_i = jnp.where(regen, s_i + 1, s_i)
-            s_glob = s_i + sample_offset
+        # ---------------- camera-ray generation (camera.rs:112-137) --------
+        def camera_ray(s_glob):
             rng = CounterRng(seed_val, pid, s_glob)
             jx = rng.uniform(hashrng.SITE_PIXEL_JX) - 0.5
             jy = rng.uniform(hashrng.SITE_PIXEL_JY) - 0.5
@@ -707,28 +716,19 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
                 nox = jnp.full(shape, cx)
                 noy = jnp.full(shape, cy)
                 noz = jnp.full(shape, cz)
-            ox = jnp.where(regen, nox, ox)
-            oy = jnp.where(regen, noy, oy)
-            oz = jnp.where(regen, noz, oz)
-            dx = jnp.where(regen, sx - nox, dx)
-            dy = jnp.where(regen, sy - noy, dy)
-            dz = jnp.where(regen, sz - noz, dz)
-            rtime = jnp.where(regen, rng.uniform(hashrng.SITE_TIME), rtime)
-            tp_r = jnp.where(regen, 1.0, tp_r)
-            tp_g = jnp.where(regen, 1.0, tp_g)
-            tp_b = jnp.where(regen, 1.0, tp_b)
-            rad_r = jnp.where(regen, 0.0, rad_r)
-            rad_g = jnp.where(regen, 0.0, rad_g)
-            rad_b = jnp.where(regen, 0.0, rad_b)
-            d_i = jnp.where(regen, 0, d_i)
-            alive = alive | regen
-            alive_f = alive.astype(jnp.float32)
-            acc_n = acc_n + alive_f
+            return (nox, noy, noz, sx - nox, sy - noy, sz - noz,
+                    rng.uniform(hashrng.SITE_TIME))
 
-            rngb = CounterRng(seed_val, pid, s_glob, d_i)
-
+        # ---------------- one bounce: hit + media + shade + advance --------
+        # shared by the persistent render loop and the record-mode kernel;
+        # returns the advanced path state, the scatter mask, and (in record
+        # mode) the packed winner record kind*2^24 | idx.
+        def trace_bounce(ox, oy, oz, dx, dy, dz, rtime,
+                         tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
+                         alive, depth_left_ok, rngb):
             # -- closest surface hit
-            (t_best, w_mat, w_nx, w_ny, w_nz, w_med, a_len, inv_a) = \
+            (t_best, w_mat, w_nx, w_ny, w_nz, w_med, w_kind, w_idx,
+             a_len, inv_a) = \
                 closest_surface(ox, oy, oz, dx, dy, dz, rtime, alive)
 
             # -- constant media (constant_medium.rs:34-71)
@@ -786,6 +786,9 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
                     t_best = jnp.where(hit, t_m, t_best)
                     w_mat = jnp.where(hit, medi(i, 1), w_mat)
                     w_med = jnp.where(hit, 1.0, w_med)
+                    if record_mode:
+                        w_kind = jnp.where(hit, 3 + i, w_kind)
+                        w_idx = jnp.where(hit, 0, w_idx)
 
             w_is_med = w_med > 0.0
             hit_any = jnp.isfinite(t_best) & alive
@@ -911,7 +914,7 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             scattered = (is_metal & metal_ok) | (~is_metal & ~is_light)
             # depth budget: path dies when its (max_depth)th segment ends
             # (renderer.rs:140-142 — accumulated radiance stays, rest black)
-            scat = hit_any & scattered & (d_i + 1 < max_depth)
+            scat = hit_any & scattered & depth_left_ok
 
             tp_r = jnp.where(scat, tp_r * at_r, tp_r)
             tp_g = jnp.where(scat, tp_g * at_g, tp_g)
@@ -929,6 +932,88 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             dx = jnp.where(scat, new_dx, dx)
             dy = jnp.where(scat, new_dy, dy)
             dz = jnp.where(scat, new_dz, dz)
+
+            if record_mode:
+                # packed winner record (ops/replay.py encoding); 0 for lanes
+                # that were dead or missed
+                rec = jnp.where(alive & hit_any,
+                                (w_kind << 24) | w_idx, izero)
+            else:
+                rec = izero
+            return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+                    rad_r, rad_g, rad_b, scat, rec)
+
+        if record_mode:
+            # ---------- lockstep recorder: per-(sample, bounce) winner ids
+            def sample_loop(si, _):
+                s_glob = si + sample_offset
+                nox, noy, noz, ndx, ndy, ndz, ntime = camera_ray(s_glob)
+
+                def depth_loop(di, dst):
+                    (ox, oy, oz, dx, dy, dz, rtime,
+                     tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, alive_f) = dst
+                    alive = alive_f > 0.0
+                    rngb = CounterRng(seed_val, pid, s_glob, di)
+                    (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+                     rad_r, rad_g, rad_b, scat, rec) = trace_bounce(
+                        ox, oy, oz, dx, dy, dz, rtime,
+                        tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
+                        alive, di + 1 < max_depth, rngb)
+                    out_rec[pl.ds((si * max_depth + di) * ROWS, ROWS), :] = rec
+                    return (ox, oy, oz, dx, dy, dz, rtime,
+                            tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
+                            scat.astype(jnp.float32))
+
+                jax.lax.fori_loop(
+                    0, max_depth, depth_loop,
+                    (nox, noy, noz, ndx, ndy, ndz, ntime,
+                     fzero + 1.0, fzero + 1.0, fzero + 1.0,
+                     fzero, fzero, fzero, fzero + 1.0))
+                return _
+
+            jax.lax.fori_loop(0, spp, sample_loop, jnp.int32(0))
+            return
+
+        # ------------------------- persistent path-regeneration loop -------
+        def cond(state):
+            s_i, alive_f = state[0], state[1]
+            return jnp.any((alive_f > 0.0) | (s_i < spp - 1))
+
+        def body(state):
+            (s_i, alive_f, d_i, ox, oy, oz, dx, dy, dz, rtime,
+             tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
+             acc_r, acc_g, acc_b, acc_n) = state
+            alive = alive_f > 0.0
+
+            # -- regenerate dead lanes that still have samples to trace
+            regen = (~alive) & (s_i < spp - 1)
+            s_i = jnp.where(regen, s_i + 1, s_i)
+            s_glob = s_i + sample_offset
+            nox, noy, noz, ndx, ndy, ndz, ntime = camera_ray(s_glob)
+            ox = jnp.where(regen, nox, ox)
+            oy = jnp.where(regen, noy, oy)
+            oz = jnp.where(regen, noz, oz)
+            dx = jnp.where(regen, ndx, dx)
+            dy = jnp.where(regen, ndy, dy)
+            dz = jnp.where(regen, ndz, dz)
+            rtime = jnp.where(regen, ntime, rtime)
+            tp_r = jnp.where(regen, 1.0, tp_r)
+            tp_g = jnp.where(regen, 1.0, tp_g)
+            tp_b = jnp.where(regen, 1.0, tp_b)
+            rad_r = jnp.where(regen, 0.0, rad_r)
+            rad_g = jnp.where(regen, 0.0, rad_g)
+            rad_b = jnp.where(regen, 0.0, rad_b)
+            d_i = jnp.where(regen, 0, d_i)
+            alive = alive | regen
+            alive_f = alive.astype(jnp.float32)
+            acc_n = acc_n + alive_f
+
+            rngb = CounterRng(seed_val, pid, s_glob, d_i)
+            (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+             rad_r, rad_g, rad_b, scat, _rec) = trace_bounce(
+                ox, oy, oz, dx, dy, dz, rtime,
+                tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
+                alive, d_i + 1 < max_depth, rngb)
             d_i = jnp.where(scat, d_i + 1, d_i)
 
             # -- flush finished paths into the per-lane accumulator
@@ -1066,3 +1151,86 @@ def render_fast(scene, camera, seed: int = 0, spp: Optional[int] = None,
         nrays = float(_unswizzle(np.asarray(n), w, h, nbx, nby).sum())
         return image, nrays
     return image
+
+
+def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
+                 sample_offset: int = 0, use_bvh: Optional[bool] = None,
+                 interpret: bool = False) -> np.ndarray:
+    """Record the per-bounce hit winners for every (pixel, sample, bounce):
+    the FAST half of the record/replay differentiable pipeline
+    (ops/replay.py). Returns (spp, max_depth, H*W) packed int32 records.
+
+    The recorder runs the same intersection/shading program as render_fast
+    (shared trace_bounce) in lockstep (sample, bounce) order so records land
+    at static output offsets. Meant for gradient passes: spp here is the
+    (small) gradient sample budget, not the full render spp.
+    """
+    w, h = camera.image_width, camera.image_height
+    n_prims = int(np.asarray(scene.sph_valid).sum()
+                  + np.asarray(scene.quad_valid).sum())
+    if use_bvh is None:
+        use_bvh = n_prims >= BVH_KERNEL_THRESHOLD
+    bvh = build_kernel_bvh(scene) if use_bvh else None
+    use_bvh = bvh is not None
+    packed = pack_scene(scene, bvh)
+
+    S, Q, M = packed.n_spheres, packed.n_quads, packed.n_media
+    dims = (S, Q, M, packed.n_mat_chunks, packed.n_tex_chunks,
+            packed.bvh_i.shape[0])
+    flags = (use_bvh, packed.has_checker, packed.has_noise, M > 0,
+             packed.has_image)
+    med_types = tuple(int(t) for t in packed.med_i[:M, 0])
+    img_dims = (packed.img_h, packed.img_w, packed.img_tab.shape[1])
+    kernel = _make_kernel(camera, w, h, spp, max_depth, dims, flags,
+                          med_types, img_dims, sample_offset=sample_offset,
+                          record_mode=True)
+
+    nbx = (w + BLOCK - 1) // BLOCK
+    nby = (h + BLOCK - 1) // BLOCK
+    n_tiles = nbx * nby
+    rows_per_tile = spp * max_depth * ROWS
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    j = jnp.asarray
+    args = (j(packed.sph_f.reshape(-1)), j(packed.sph_m),
+            j(packed.quad_f.reshape(-1)), j(packed.quad_m),
+            j(packed.med_f.reshape(-1)), j(packed.med_i.reshape(-1)),
+            j(packed.mat_tab), j(packed.tex_tab), j(packed.img_tab),
+            j(packed.bvh_f.reshape(-1)), j(packed.bvh_i.reshape(-1)),
+            j(packed.prim_i.reshape(-1)))
+
+    # chunk tiles like _render_tiles (watchdog bound; the recorder does the
+    # same per-segment work as the renderer)
+    seg_ops = max(300, 25 * (S + Q) if not use_bvh
+                  else 15 * packed.bvh_i.shape[0])
+    tile_s = TILE * spp * max(2, min(max_depth, 6)) * seg_ops / 150e9
+    tile_chunk = max(1, min(n_tiles, int(8.0 / max(tile_s, 1e-4))))
+
+    fns = {}
+    outs = []
+    for t0 in range(0, n_tiles, tile_chunk):
+        nt = min(tile_chunk, n_tiles - t0)
+        if nt not in fns:
+            fns[nt] = jax.jit(pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((nt * rows_per_tile, LANES),
+                                                jnp.int32)],
+                grid=(nt,),
+                in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
+                          vmem(), vmem(), vmem(),
+                          smem(), smem(), smem(), smem()],
+                out_specs=[pl.BlockSpec((rows_per_tile, LANES),
+                                        lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)],
+                interpret=pltpu.InterpretParams() if interpret else False,
+            ))
+        outs.append(fns[nt](*args, j(np.asarray([seed, t0], np.int32)))[0])
+    rec = jnp.concatenate(outs)  # (n_tiles*spp*depth*ROWS, LANES), on device
+
+    # unswizzle ON DEVICE (the tunnel makes host round-trips of ~100 MB
+    # record buffers cost seconds): tile-major lanes -> pixel order
+    r = rec.reshape(nby, nbx, spp, max_depth, BLOCK, BLOCK)
+    img = r.transpose(2, 3, 0, 4, 1, 5).reshape(
+        spp, max_depth, nby * BLOCK, nbx * BLOCK)[:, :, :h, :w]
+    return img.reshape(spp, max_depth, h * w)
