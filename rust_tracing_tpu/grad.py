@@ -29,10 +29,40 @@ from .camera import Camera, CameraConstants, get_rays
 from .ops import integrator
 
 
+def _chunked_mean(scene, pixel_ids, spp: int, sample_chunk: int, dtype,
+                  chunk_rad):
+    """Shared sample-flattening driver for both grad pipelines: samples are
+    flattened into the ray batch (``sample_chunk`` per wavefront) and summed
+    with ONE reduction shape, so the direct and replay estimators associate
+    their float sums identically (their gradients are compared bitwise in
+    tests). ``chunk_rad(scene, s0, k)`` -> (radiance sum (C,3), ray count).
+    """
+    C = pixel_ids.shape[0]
+    K = min(sample_chunk, spp)
+    acc = jnp.zeros((C, 3), dtype)
+    nrays = jnp.zeros((), jnp.float32)
+    n_full = spp // K
+
+    if n_full:
+        def body(c, carry):
+            acc, nrays = carry
+            rad, nb = chunk_rad(scene, c * K, K)
+            return acc + rad, nrays + nb
+
+        acc, nrays = jax.lax.fori_loop(0, n_full, body, (acc, nrays))
+    rem = spp - n_full * K
+    if rem:
+        rad, nb = chunk_rad(scene, n_full * K, rem)
+        acc, nrays = acc + rad, nrays + nb
+    return acc / spp, nrays
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("spp", "max_depth", "hit_fn", "remat"))
+                   static_argnames=("spp", "max_depth", "hit_fn", "remat",
+                                    "sample_chunk"))
 def radiance_mean_rays(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
-                       max_depth: int, hit_fn=None, remat: bool = False):
+                       max_depth: int, hit_fn=None, remat: bool = False,
+                       sample_chunk: Optional[int] = None):
     """(mean radiance (C,3), rays traced ()) over ``spp`` fixed-RNG samples.
 
     RNG is the counter-based generator addressed by (seed, pixel, sample,
@@ -40,32 +70,33 @@ def radiance_mean_rays(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
     fixed seed, which is what makes finite-difference gradient checks exact.
 
     Differentiable w.r.t. ``scene``. The closest-hit search is detached with
-    an O(rays) differentiable winner recompute (ops/intersect.py), so the
-    per-bounce residuals the backward pass stores are O(rays) — the default
-    is therefore to STORE them (remat=False: backward costs one transpose,
-    not a full forward recompute per bounce). ``remat=True`` trades that
-    memory back for FLOPs (jax.checkpoint per bounce) for huge batches. The
-    ray counter is an exact count of scene queries (for honest rays/s).
+    an O(rays) differentiable winner recompute (ops/intersect.py). Samples
+    are flattened into the ray batch in chunks (same driver as the replay
+    pipeline); each chunk is checkpointed so reverse-mode holds one chunk's
+    residuals. The direct path materializes the (rays x prims) search, so its
+    chunk budget is scaled down by the primitive count. The ray counter is an
+    exact count of scene queries (for honest rays/s).
     """
     C = pixel_ids.shape[0]
     dtype = cam.center.dtype
+    if sample_chunk is None:
+        n_prims = scene.sph_radius.shape[0] + scene.quad_mat.shape[0]
+        budget = max(1 << 14, REPLAY_RAY_BUDGET // max(1, n_prims // 8))
+        sample_chunk = max(1, min(spp, budget // max(C, 1)))
 
-    @jax.checkpoint
-    def sample_rad(scene_, s):
-        o, d, t = get_rays(cam, seed, pixel_ids, s)
-        return integrator.trace(scene_, o, d, t, (seed, pixel_ids, s),
-                                max_depth, closest_hit_fn=hit_fn, remat=remat)
+    @functools.partial(jax.checkpoint, static_argnums=(2,))
+    def chunk_rad(scene_, s0, k: int):
+        pix = jnp.tile(pixel_ids, k)
+        samp = s0 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), C)
+        o, d, t = get_rays(cam, seed, pix, samp)
+        rad, nb = integrator.trace(scene_, o, d, t, (seed, pix, samp),
+                                   max_depth, closest_hit_fn=hit_fn,
+                                   remat=remat)
+        return (rad.reshape(k, C, 3).sum(0),
+                jnp.sum(nb).astype(jnp.float32))
 
-    def body(s, carry):
-        # per-sample checkpoint: reverse-mode keeps ONE sample's residuals
-        # live at a time instead of stacking all spp of them
-        acc, nrays = carry
-        rad, nb = sample_rad(scene, s)
-        return acc + rad, nrays + jnp.sum(nb).astype(jnp.float32)
-
-    acc, nrays = jax.lax.fori_loop(
-        0, spp, body, (jnp.zeros((C, 3), dtype), jnp.zeros((), jnp.float32)))
-    return acc / spp, nrays
+    return _chunked_mean(scene, pixel_ids, spp, sample_chunk, dtype,
+                         chunk_rad)
 
 
 def radiance_mean(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
@@ -75,35 +106,52 @@ def radiance_mean(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
                               hit_fn)[0]
 
 
+# Flattened (sample x pixel) wavefront budget for the replay pipeline: the
+# largest ray batch one bounce materializes at once. 2^22 rays keep the
+# per-bounce carry (~14 f32 lanes) plus the per-bounce checkpointed residuals
+# comfortably inside a v5e's HBM while saturating the VPU.
+REPLAY_RAY_BUDGET = 1 << 22
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("spp", "max_depth"))
+                   static_argnames=("spp", "max_depth", "sample_chunk"))
 def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
-                              records, spp: int, max_depth: int):
+                              records, spp: int, max_depth: int,
+                              sample_chunk: Optional[int] = None):
     """Search-free differentiable radiance mean from recorded hit winners
     (ops/replay.py). ``records``: (spp, max_depth, C) int32 aligned with
     ``pixel_ids``. O(rays) forward AND backward — no (rays x prims) search
-    appears anywhere in the autodiff graph."""
+    appears anywhere in the autodiff graph.
+
+    Samples are FLATTENED into the ray batch (``sample_chunk`` samples per
+    wavefront, default as many as fit REPLAY_RAY_BUDGET): one bounce step
+    processes (K*C,) rays instead of looping spp sequential (C,) passes —
+    the op count drops spp-fold and every op runs at full-batch VPU
+    efficiency. Per-bounce rematerialization (trace_replay remat) plus a
+    per-chunk jax.checkpoint bound reverse-mode memory to one chunk's carry.
+    """
     from .ops import replay as replay_mod
 
     C = pixel_ids.shape[0]
     dtype = cam.center.dtype
+    if sample_chunk is None:
+        sample_chunk = max(1, min(spp, REPLAY_RAY_BUDGET // max(C, 1)))
 
-    @jax.checkpoint
-    def sample_rad(scene_, s):
-        o, d, t = get_rays(cam, seed, pixel_ids, s)
-        return replay_mod.trace_replay(scene_, o, d, t, (seed, pixel_ids, s),
-                                       records[s], max_depth)
+    @functools.partial(jax.checkpoint, static_argnums=(2,))
+    def chunk_rad(scene_, s0, k: int):
+        """Radiance sum + ray count over samples [s0, s0+k) in one wavefront."""
+        pix = jnp.tile(pixel_ids, k)
+        samp = s0 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), C)
+        o, d, t = get_rays(cam, seed, pix, samp)
+        recs = jax.lax.dynamic_slice_in_dim(records, s0, k, axis=0)
+        recs = jnp.moveaxis(recs, 1, 0).reshape(max_depth, k * C)
+        rad, nb = replay_mod.trace_replay(scene_, o, d, t, (seed, pix, samp),
+                                          recs, max_depth, remat=True)
+        return (rad.reshape(k, C, 3).sum(0),
+                jnp.sum(nb).astype(jnp.float32))
 
-    def body(s, carry):
-        # per-sample checkpoint: reverse-mode keeps ONE sample's residuals
-        # live at a time instead of stacking all spp of them
-        acc, nrays = carry
-        rad, nb = sample_rad(scene, s)
-        return acc + rad, nrays + jnp.sum(nb).astype(jnp.float32)
-
-    acc, nrays = jax.lax.fori_loop(
-        0, spp, body, (jnp.zeros((C, 3), dtype), jnp.zeros((), jnp.float32)))
-    return acc / spp, nrays
+    return _chunked_mean(scene, pixel_ids, spp, sample_chunk, dtype,
+                         chunk_rad)
 
 
 def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,

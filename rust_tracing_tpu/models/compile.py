@@ -96,6 +96,18 @@ class CompiledScene:
     has_checker: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_media: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_bvh: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # static material-family flags: a scene without metals never evaluates the
+    # fuzz-ball sampler, without dielectrics never evaluates Schlick/refract,
+    # etc. — the trace-time analog of the reference's per-hit dyn dispatch
+    # (material.rs:11-16) that prunes whole transcendental subgraphs instead
+    # of masking them (big deal for the O(rays) replay backward pass).
+    has_metal: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    has_dielectric: bool = dataclasses.field(metadata=dict(static=True),
+                                             default=True)
+    has_isotropic: bool = dataclasses.field(metadata=dict(static=True),
+                                            default=True)
+    has_lights: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=True)
 
     @property
     def num_spheres(self) -> int:
@@ -254,4 +266,8 @@ def compile_scene(
         has_checker=scene_mod.TEX_CHECKER in b.tex_type,
         has_media=b.num_media > 0,
         has_bvh=bool(use_bvh),
+        has_metal=scene_mod.METAL in b.mat_type,
+        has_dielectric=scene_mod.DIELECTRIC in b.mat_type,
+        has_isotropic=scene_mod.ISOTROPIC in b.mat_type,
+        has_lights=scene_mod.DIFFUSE_LIGHT in b.mat_type,
     )

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import hashrng, intersect
+from . import linalg as la
 from .materials import scatter_and_emit
 
 # Scale-aware secondary-ray origin offset (f32 self-intersection guard).
@@ -94,7 +95,7 @@ def trace(scene, origin, direction, time, rng_idx, max_depth: int,
         # self-hits. Offset the new origin along the geometric normal, signed
         # by which side the scattered ray leaves (refraction goes through),
         # with a scale-aware epsilon. Media scatter mid-flight: no offset.
-        side = jnp.sign(jnp.sum(s.direction * hit.normal, axis=-1, keepdims=True))
+        side = jnp.sign(la.dot(s.direction, hit.normal))[:, None]
         scale = jnp.max(jnp.abs(hit.p), axis=-1, keepdims=True)
         eps = _ORIGIN_EPS_ABS + _ORIGIN_EPS_REL * scale
         new_o = hit.p + jnp.where(hit.is_surface[:, None],

@@ -11,12 +11,18 @@ import jax.numpy as jnp
 
 
 def dot(a, b):
-    """reference: src/vec3.rs:104-107 (returns ``[...]``)."""
-    return jnp.sum(a * b, axis=-1)
+    """reference: src/vec3.rs:104-107 (returns ``[...]``).
+
+    Written as explicit left-associated component adds (not a reduce) so the
+    [..., 3] array path and the component-form path (ops/replay.py, dense
+    (R,) lanes) produce bitwise-identical sums — the replay-equals-direct
+    gradient tests compare exactly."""
+    return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2])
 
 
 def length_squared(v):
-    return jnp.sum(v * v, axis=-1)
+    return dot(v, v)
 
 
 def length(v):

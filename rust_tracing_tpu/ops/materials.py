@@ -16,6 +16,22 @@ Fidelity notes (see SURVEY.md fidelity traps):
   front_face (material.rs:114-122, renderer.rs:145);
 - Isotropic: uniform sphere phase function (material.rs:132-138).
 All scattered rays inherit the parent ray's time (material.rs `with_time`).
+
+The implementation is COMPONENT FORM (``scatter_and_emit_c``: dense ``(R,)``
+lanes — TPU XLA pads a trailing 3-axis to 128 vector lanes, so the wavefront
+hot paths never materialize ``(R, 3)``); :func:`scatter_and_emit` is the thin
+array wrapper used by the oracle/XLA integrator.
+
+Family pruning is static (scene.has_metal / has_dielectric / has_isotropic,
+models/compile.py): a Cornell box never computes the fuzz-ball sampler or the
+Schlick/refract subgraph — the equivalent of the reference only calling the
+dyn Material actually hit. Draws are site-addressed (not sequential), so
+skipping an absent family's draws cannot shift any other stream.
+
+RNG draws are checkpoint-named ('rt_rng'): under the replay remat policy
+(ops/replay.py) the backward pass stores these few dense tensors instead of
+re-deriving their transcendental chains — they have no parameter
+dependencies, so recomputing them is pure waste.
 """
 
 from __future__ import annotations
@@ -24,12 +40,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import NEAR_ZERO_EPS
 from ..models.scene import DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC, LAMBERTIAN, METAL
 from . import hashrng
 from . import linalg as la
-from .textures import texture_value
+from .textures import texture_value_c
+from .tgather import tgather
 
 
 class Scatter(NamedTuple):
@@ -39,85 +57,151 @@ class Scatter(NamedTuple):
     emitted: jnp.ndarray  # (R,3)
 
 
-def scatter_and_emit(scene, rngb, d_in, hit) -> Scatter:
-    """Evaluate all material families for rays with hit records ``hit``.
+class ScatterC(NamedTuple):
+    """Component-form scatter result: ten dense (R,) lanes."""
+
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    ar: jnp.ndarray
+    ag: jnp.ndarray
+    ab: jnp.ndarray
+    scattered: jnp.ndarray
+    er: jnp.ndarray
+    eg: jnp.ndarray
+    eb: jnp.ndarray
+
+
+def scatter_and_emit_c(scene, rngb, d_in_x, d_in_y, d_in_z,
+                       nx, ny, nz, front_face, mat_id, u, v,
+                       px, py, pz) -> ScatterC:
+    """Component-form material evaluation for rays with hit components.
 
     ``rngb`` is the per-bounce CounterRng scope (ops/hashrng.py); the draw
     sites here mirror the megakernel's exactly, so both paths consume
-    identical random streams."""
-    dtype = d_in.dtype
-    R = d_in.shape[0]
-    mtype = scene.mat_type[hit.mat_id]
-    tex_id = scene.mat_tex[hit.mat_id]
+    identical random streams.
+    """
+    dtype = d_in_x.dtype
+    mtype = scene.mat_type[mat_id]
+    tex_id = scene.mat_tex[mat_id]
 
-    unit_vec = jnp.stack(
-        rngb.unit_vector(hashrng.SITE_SCATTER_Z, hashrng.SITE_SCATTER_PHI),
-        axis=-1).astype(dtype)
-    fuzz_vec = jnp.stack(
-        rngb.in_unit_sphere(hashrng.SITE_FUZZ_Z, hashrng.SITE_FUZZ_PHI,
-                            hashrng.SITE_FUZZ_R),
-        axis=-1).astype(dtype)
-    coin = rngb.uniform(hashrng.SITE_SCHLICK).astype(dtype)
+    uvx, uvy, uvz = rngb.unit_vector(hashrng.SITE_SCATTER_Z,
+                                     hashrng.SITE_SCATTER_PHI)
+    uvx = checkpoint_name(uvx.astype(dtype), "rt_rng")
+    uvy = checkpoint_name(uvy.astype(dtype), "rt_rng")
+    uvz = checkpoint_name(uvz.astype(dtype), "rt_rng")
 
-    n = hit.normal
-    tex_val = texture_value(scene, tex_id, hit.u, hit.v, hit.p)
+    tex_r, tex_g, tex_b = texture_value_c(scene, tex_id, u, v, px, py, pz)
 
     # --- Lambertian (material.rs:26-42)
-    lam_dir = n + unit_vec
-    near_zero = jnp.all(jnp.abs(lam_dir) < NEAR_ZERO_EPS, axis=-1)
-    lam_dir = jnp.where(near_zero[:, None], n, lam_dir)
+    ldx, ldy, ldz = nx + uvx, ny + uvy, nz + uvz
+    near_zero = ((jnp.abs(ldx) < NEAR_ZERO_EPS)
+                 & (jnp.abs(ldy) < NEAR_ZERO_EPS)
+                 & (jnp.abs(ldz) < NEAR_ZERO_EPS))
+    ldx = jnp.where(near_zero, nx, ldx)
+    ldy = jnp.where(near_zero, ny, ldy)
+    ldz = jnp.where(near_zero, nz, ldz)
 
-    # --- Metal (material.rs:53-64)
-    d_unit = la.normalize(d_in, eps=1e-30)
-    fuzz = scene.mat_fuzz[hit.mat_id]
-    metal_dir = la.reflect(d_unit, n) + fuzz[:, None] * fuzz_vec
-    metal_ok = la.dot(metal_dir, n) > 0.0
-
-    # --- Dielectric (material.rs:80-104)
-    ir = scene.mat_ir[hit.mat_id]
-    ratio = jnp.where(hit.front_face, 1.0 / ir, ir)
-    cos_theta = jnp.minimum(la.dot(-d_unit, n), 1.0)
-    sin_sq = 1.0 - cos_theta * cos_theta
-    sin_theta = jnp.sqrt(jnp.where(sin_sq > 0, sin_sq, 1.0)) * (sin_sq > 0)
-    cannot_refract = ratio * sin_theta > 1.0
-    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2  # Schlick (material.rs:74-78)
-    reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
-    do_reflect = cannot_refract | (reflectance > coin)
-    diel_dir = jnp.where(
-        do_reflect[:, None],
-        la.reflect(d_unit, n),
-        la.refract(d_unit, n, ratio),
-    )
-
-    # --- Isotropic (material.rs:132-138): fresh uniform direction.
-    iso_dir = unit_vec
-
-    is_lam = mtype == LAMBERTIAN
     is_metal = mtype == METAL
     is_diel = mtype == DIELECTRIC
     is_light = mtype == DIFFUSE_LIGHT
     is_iso = mtype == ISOTROPIC
 
-    direction = jnp.where(
-        is_lam[:, None],
-        lam_dir,
-        jnp.where(
-            is_metal[:, None],
-            metal_dir,
-            jnp.where(is_diel[:, None], diel_dir, iso_dir),
-        ),
-    )
+    if scene.has_metal or scene.has_dielectric:
+        inv_len = 1.0 / jnp.maximum(
+            jnp.sqrt(d_in_x * d_in_x + d_in_y * d_in_y + d_in_z * d_in_z),
+            1e-30)
+        udx, udy, udz = d_in_x * inv_len, d_in_y * inv_len, d_in_z * inv_len
+        rdot = udx * nx + udy * ny + udz * nz
+        rlx = udx - 2.0 * rdot * nx  # reflect (vec3.rs:91-93)
+        rly = udy - 2.0 * rdot * ny
+        rlz = udz - 2.0 * rdot * nz
 
-    attenuation = jnp.where(
-        is_metal[:, None],
-        scene.mat_albedo[hit.mat_id],
-        jnp.where(is_diel[:, None], jnp.ones((R, 3), dtype), tex_val),
-    )
+    dir_x, dir_y, dir_z = ldx, ldy, ldz
+    if scene.has_isotropic:
+        # Isotropic (material.rs:132-138): fresh uniform direction.
+        dir_x = jnp.where(is_iso, uvx, dir_x)
+        dir_y = jnp.where(is_iso, uvy, dir_y)
+        dir_z = jnp.where(is_iso, uvz, dir_z)
+    if scene.has_dielectric:
+        # Dielectric (material.rs:80-104)
+        coin = checkpoint_name(
+            rngb.uniform(hashrng.SITE_SCHLICK).astype(dtype), "rt_rng")
+        ir = tgather(scene.mat_ir, mat_id)
+        ratio = jnp.where(front_face, 1.0 / ir, ir)
+        cos_theta = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        sin_sq = 1.0 - cos_theta * cos_theta
+        sin_theta = jnp.sqrt(jnp.where(sin_sq > 0, sin_sq, 1.0)) * (sin_sq > 0)
+        cannot_refract = ratio * sin_theta > 1.0
+        r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2  # Schlick (material.rs:74-78)
+        reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+        do_reflect = cannot_refract | (reflectance > coin)
+        # refract (vec3.rs:96-101) with the TIR-boundary grad guard
+        rpx = ratio * (udx + cos_theta * nx)
+        rpy = ratio * (udy + cos_theta * ny)
+        rpz = ratio * (udz + cos_theta * nz)
+        s = jnp.abs(1.0 - (rpx * rpx + rpy * rpy + rpz * rpz))
+        ok = s > 1e-20
+        par = -jnp.sqrt(jnp.where(ok, s, 1.0)) * ok
+        rfx = rpx + par * nx
+        rfy = rpy + par * ny
+        rfz = rpz + par * nz
+        dir_x = jnp.where(is_diel, jnp.where(do_reflect, rlx, rfx), dir_x)
+        dir_y = jnp.where(is_diel, jnp.where(do_reflect, rly, rfy), dir_y)
+        dir_z = jnp.where(is_diel, jnp.where(do_reflect, rlz, rfz), dir_z)
+    if scene.has_metal:
+        # Metal (material.rs:53-64)
+        fx, fy, fz = rngb.in_unit_sphere(hashrng.SITE_FUZZ_Z,
+                                         hashrng.SITE_FUZZ_PHI,
+                                         hashrng.SITE_FUZZ_R)
+        fx = checkpoint_name(fx.astype(dtype), "rt_rng")
+        fy = checkpoint_name(fy.astype(dtype), "rt_rng")
+        fz = checkpoint_name(fz.astype(dtype), "rt_rng")
+        fuzz = tgather(scene.mat_fuzz, mat_id)
+        mdx = rlx + fuzz * fx
+        mdy = rly + fuzz * fy
+        mdz = rlz + fuzz * fz
+        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+        dir_x = jnp.where(is_metal, mdx, dir_x)
+        dir_y = jnp.where(is_metal, mdy, dir_y)
+        dir_z = jnp.where(is_metal, mdz, dir_z)
 
-    scattered = jnp.where(is_metal, metal_ok, ~is_light)
+    ar, ag, ab = tex_r, tex_g, tex_b
+    if scene.has_metal:
+        ar = jnp.where(is_metal, tgather(scene.mat_albedo[:, 0], mat_id), ar)
+        ag = jnp.where(is_metal, tgather(scene.mat_albedo[:, 1], mat_id), ag)
+        ab = jnp.where(is_metal, tgather(scene.mat_albedo[:, 2], mat_id), ab)
+    if scene.has_dielectric:
+        one = jnp.ones_like(ar)
+        ar = jnp.where(is_diel, one, ar)
+        ag = jnp.where(is_diel, one, ag)
+        ab = jnp.where(is_diel, one, ab)
+
+    scattered = ~is_light
+    if scene.has_metal:
+        scattered = jnp.where(is_metal, metal_ok, scattered)
 
     # Emission (material.rs:114-122): only DiffuseLight, ignores front_face.
-    emitted = jnp.where(is_light[:, None], tex_val, jnp.zeros((R, 3), dtype))
+    zero = jnp.zeros_like(ar)
+    er = jnp.where(is_light, tex_r, zero)
+    eg = jnp.where(is_light, tex_g, zero)
+    eb = jnp.where(is_light, tex_b, zero)
 
-    return Scatter(direction=direction, attenuation=attenuation,
-                   scattered=scattered, emitted=emitted)
+    return ScatterC(dir_x, dir_y, dir_z, ar, ag, ab, scattered, er, eg, eb)
+
+
+def scatter_and_emit(scene, rngb, d_in, hit) -> Scatter:
+    """Array wrapper over :func:`scatter_and_emit_c` for the ``[..., 3]``
+    integrator path — values are identical to the component path bitwise
+    (same per-lane arithmetic; stacking does not round)."""
+    s = scatter_and_emit_c(
+        scene, rngb, d_in[..., 0], d_in[..., 1], d_in[..., 2],
+        hit.normal[..., 0], hit.normal[..., 1], hit.normal[..., 2],
+        hit.front_face, hit.mat_id, hit.u, hit.v,
+        hit.p[..., 0], hit.p[..., 1], hit.p[..., 2])
+    return Scatter(
+        direction=jnp.stack([s.dx, s.dy, s.dz], axis=-1),
+        attenuation=jnp.stack([s.ar, s.ag, s.ab], axis=-1),
+        scattered=s.scattered,
+        emitted=jnp.stack([s.er, s.eg, s.eb], axis=-1),
+    )

@@ -44,7 +44,9 @@ on the XLA path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
+import weakref
 from typing import Optional
 
 import jax
@@ -1042,8 +1044,102 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
     return kernel
 
 
+# ------------------------------------------------------------- call caching
+# The tunnel between host and TPU makes per-call fixed costs expensive: a
+# fresh jax.jit(pl.pallas_call(...)) re-traces the whole kernel (~100s of ms)
+# and re-uploading the packed scene tables costs a round trip per array.
+# Both are pure functions of (scene, kernel config), so cache them.
+_pack_cache: dict = {}   # (id(scene), use_bvh) -> (weakref, packed, dev_args)
+_call_cache: dict = {}   # static kernel config -> jitted pallas_call
+
+
+def _cam_key(cam) -> tuple:
+    import numpy as _np
+
+    return tuple(
+        float(v) for v in _np.concatenate([
+            _np.asarray(cam.center, _np.float64).ravel(),
+            _np.asarray(cam.pixel00_loc, _np.float64).ravel(),
+            _np.asarray(cam.pixel_delta_u, _np.float64).ravel(),
+            _np.asarray(cam.pixel_delta_v, _np.float64).ravel(),
+            _np.asarray(cam.defocus_disk_u, _np.float64).ravel(),
+            _np.asarray(cam.defocus_disk_v, _np.float64).ravel(),
+            _np.asarray(cam.background, _np.float64).ravel(),
+            [float(cam.defocus_angle)],
+        ]))
+
+
+def _packed_dev(scene, use_bvh: bool):
+    """(packed, device_args, use_bvh) for a scene, cached by object identity —
+    repeated renders/records of the same CompiledScene skip the host pack
+    and the table re-upload entirely. The returned use_bvh reflects whether a
+    tree actually exists (empty scenes build none)."""
+    key = (id(scene), bool(use_bvh))
+    ent = _pack_cache.get(key)
+    if ent is not None and ent[0]() is scene:
+        return ent[1], ent[2], ent[3]
+    bvh = build_kernel_bvh(scene) if use_bvh else None
+    use_bvh = bvh is not None
+    packed = pack_scene(scene, bvh)
+    j = jnp.asarray
+    args = (j(packed.sph_f.reshape(-1)), j(packed.sph_m),
+            j(packed.quad_f.reshape(-1)), j(packed.quad_m),
+            j(packed.med_f.reshape(-1)), j(packed.med_i.reshape(-1)),
+            j(packed.mat_tab), j(packed.tex_tab), j(packed.img_tab),
+            j(packed.bvh_f.reshape(-1)), j(packed.bvh_i.reshape(-1)),
+            j(packed.prim_i.reshape(-1)))
+    try:
+        ref = weakref.ref(scene)
+    except TypeError:  # non-weakrefable scene: fall back to always-fresh
+        ref = lambda: scene
+    _pack_cache[key] = (ref, packed, args, use_bvh)
+    return packed, args, use_bvh
+
+
+def _get_call(cam, width, height, spp, max_depth, dims, flags, med_types,
+              img_dims, sample_offset, nt, record_mode, interpret):
+    """Cached jitted pallas_call for one static kernel configuration."""
+    key = (_cam_key(cam), width, height, spp, max_depth, dims, flags,
+           med_types, img_dims, sample_offset, nt, record_mode,
+           bool(interpret))
+    fn = _call_cache.get(key)
+    if fn is not None:
+        return fn
+    kernel = _make_kernel(cam, width, height, spp, max_depth, dims, flags,
+                          med_types, img_dims, sample_offset=sample_offset,
+                          record_mode=record_mode)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [smem(), smem(), smem(), smem(), smem(), smem(),
+                vmem(), vmem(), vmem(),
+                smem(), smem(), smem(), smem()]
+    if record_mode:
+        rows_per_tile = spp * max_depth * ROWS
+        out_shape = [jax.ShapeDtypeStruct((nt * rows_per_tile, LANES),
+                                          jnp.int32)]
+        out_specs = [pl.BlockSpec((rows_per_tile, LANES), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((nt * ROWS, LANES), jnp.float32)
+                     for _ in range(4)]
+        out_specs = [pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in range(4)]
+    fn = jax.jit(pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    ))
+    _call_cache[key] = fn
+    return fn
+
+
 def _render_tiles(packed: _PackedScene, cam, width, height, spp, max_depth,
-                  use_bvh, sample_offset, seed, interpret, tile_chunk=None):
+                  use_bvh, sample_offset, seed, interpret, tile_chunk=None,
+                  dev_args=None):
     S, Q, M = packed.n_spheres, packed.n_quads, packed.n_media
     dims = (S, Q, M, packed.n_mat_chunks, packed.n_tex_chunks,
             packed.bvh_i.shape[0])
@@ -1056,8 +1152,6 @@ def _render_tiles(packed: _PackedScene, cam, width, height, spp, max_depth,
 
     med_types = tuple(int(t) for t in packed.med_i[:M, 0])
     img_dims = (packed.img_h, packed.img_w, packed.img_tab.shape[1])
-    kernel = _make_kernel(cam, width, height, spp, max_depth, dims, flags,
-                          med_types, img_dims, sample_offset=sample_offset)
 
     # Bound the work per device program: heavy workloads (final_scene at
     # depth 40, multi-thousand-spp Cornells) would otherwise run one XLA
@@ -1072,49 +1166,49 @@ def _render_tiles(packed: _PackedScene, cam, width, height, spp, max_depth,
         tile_s = TILE * spp * plen * seg_ops / 150e9
         tile_chunk = max(1, min(n_tiles, int(8.0 / max(tile_s, 1e-4))))
 
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    j = jnp.asarray
-    args = (j(packed.sph_f.reshape(-1)), j(packed.sph_m),
-            j(packed.quad_f.reshape(-1)), j(packed.quad_m),
-            j(packed.med_f.reshape(-1)), j(packed.med_i.reshape(-1)),
-            j(packed.mat_tab), j(packed.tex_tab), j(packed.img_tab),
-            j(packed.bvh_f.reshape(-1)), j(packed.bvh_i.reshape(-1)),
-            j(packed.prim_i.reshape(-1)))
+    if dev_args is None:
+        j = jnp.asarray
+        dev_args = (j(packed.sph_f.reshape(-1)), j(packed.sph_m),
+                    j(packed.quad_f.reshape(-1)), j(packed.quad_m),
+                    j(packed.med_f.reshape(-1)), j(packed.med_i.reshape(-1)),
+                    j(packed.mat_tab), j(packed.tex_tab), j(packed.img_tab),
+                    j(packed.bvh_f.reshape(-1)), j(packed.bvh_i.reshape(-1)),
+                    j(packed.prim_i.reshape(-1)))
 
-    fns = {}
     outs = []
     for t0 in range(0, n_tiles, tile_chunk):
         nt = min(tile_chunk, n_tiles - t0)
-        if nt not in fns:
-            fns[nt] = jax.jit(pl.pallas_call(
-                kernel,
-                out_shape=[jax.ShapeDtypeStruct((nt * ROWS, LANES),
-                                                jnp.float32)
-                           for _ in range(4)],
-                grid=(nt,),
-                in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
-                          vmem(), vmem(), vmem(),
-                          smem(), smem(), smem(), smem()],
-                out_specs=[
-                    pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-                    for _ in range(4)
-                ],
-                interpret=pltpu.InterpretParams() if interpret else False,
-            ))
-        outs.append(fns[nt](*args, j(np.asarray([seed, t0], np.int32))))
-    r, g, b, n = (np.concatenate([np.asarray(o[k]) for o in outs])
-                  for k in range(4))
+        fn = _get_call(cam, width, height, spp, max_depth, dims, flags,
+                       med_types, img_dims, sample_offset, nt, False,
+                       interpret)
+        outs.append(fn(*dev_args,
+                       jnp.asarray(np.asarray([seed, t0], np.int32))))
+    if len(outs) == 1:
+        r, g, b, n = outs[0]
+    else:
+        r, g, b, n = (jnp.concatenate([o[k] for o in outs])
+                      for k in range(4))
     return r, g, b, n, nbx, nby
 
 
-def _unswizzle(arr: np.ndarray, width, height, nbx, nby) -> np.ndarray:
-    """(n_tiles*ROWS, LANES) tile-major buffer -> flat (H*W,) pixel order."""
-    flat = arr.reshape(nbx * nby, TILE)
-    tiles = flat.reshape(nby, nbx, BLOCK, BLOCK)  # [by, bx, ly, lx]
-    img = tiles.transpose(0, 2, 1, 3).reshape(nby * BLOCK, nbx * BLOCK)
-    return img[:height, :width].reshape(-1)
+@functools.lru_cache(maxsize=32)
+def _unswizzle_fn(width: int, height: int, nbx: int, nby: int):
+    """Device-side tile-major -> pixel-order shuffle for the 4 output
+    buffers: one jitted transpose instead of four host-side numpy shuffles
+    of tunneled buffers."""
+
+    @jax.jit
+    def go(r, g, b, n):
+        def one(arr):
+            tiles = arr.reshape(nby, nbx, BLOCK, BLOCK)
+            img = tiles.transpose(0, 2, 1, 3).reshape(nby * BLOCK,
+                                                      nbx * BLOCK)
+            return img[:height, :width]
+
+        img = jnp.stack([one(r), one(g), one(b)], axis=-1)
+        return img, jnp.sum(one(n))
+
+    return go
 
 
 def render_fast(scene, camera, seed: int = 0, spp: Optional[int] = None,
@@ -1137,19 +1231,15 @@ def render_fast(scene, camera, seed: int = 0, spp: Optional[int] = None,
                   + np.asarray(scene.quad_valid).sum())
     if use_bvh is None:
         use_bvh = n_prims >= BVH_KERNEL_THRESHOLD
-    bvh = build_kernel_bvh(scene) if use_bvh else None
-    use_bvh = bvh is not None
 
-    packed = pack_scene(scene, bvh)
+    packed, dev_args, use_bvh = _packed_dev(scene, use_bvh)
     r, g, b, n, nbx, nby = _render_tiles(packed, camera, w, h, spp, max_depth,
                                          use_bvh, sample_offset, seed,
-                                         interpret)
-    img = np.stack([_unswizzle(np.asarray(x), w, h, nbx, nby)
-                    for x in (r, g, b)], axis=-1)
-    image = img.reshape(h, w, 3)
+                                         interpret, dev_args=dev_args)
+    img_dev, nrays_dev = _unswizzle_fn(w, h, nbx, nby)(r, g, b, n)
+    image = np.asarray(img_dev)
     if with_stats:
-        nrays = float(_unswizzle(np.asarray(n), w, h, nbx, nby).sum())
-        return image, nrays
+        return image, float(nrays_dev)
     return image
 
 
@@ -1170,9 +1260,7 @@ def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
                   + np.asarray(scene.quad_valid).sum())
     if use_bvh is None:
         use_bvh = n_prims >= BVH_KERNEL_THRESHOLD
-    bvh = build_kernel_bvh(scene) if use_bvh else None
-    use_bvh = bvh is not None
-    packed = pack_scene(scene, bvh)
+    packed, dev_args, use_bvh = _packed_dev(scene, use_bvh)
 
     S, Q, M = packed.n_spheres, packed.n_quads, packed.n_media
     dims = (S, Q, M, packed.n_mat_chunks, packed.n_tex_chunks,
@@ -1181,24 +1269,10 @@ def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
              packed.has_image)
     med_types = tuple(int(t) for t in packed.med_i[:M, 0])
     img_dims = (packed.img_h, packed.img_w, packed.img_tab.shape[1])
-    kernel = _make_kernel(camera, w, h, spp, max_depth, dims, flags,
-                          med_types, img_dims, sample_offset=sample_offset,
-                          record_mode=True)
 
     nbx = (w + BLOCK - 1) // BLOCK
     nby = (h + BLOCK - 1) // BLOCK
     n_tiles = nbx * nby
-    rows_per_tile = spp * max_depth * ROWS
-
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    j = jnp.asarray
-    args = (j(packed.sph_f.reshape(-1)), j(packed.sph_m),
-            j(packed.quad_f.reshape(-1)), j(packed.quad_m),
-            j(packed.med_f.reshape(-1)), j(packed.med_i.reshape(-1)),
-            j(packed.mat_tab), j(packed.tex_tab), j(packed.img_tab),
-            j(packed.bvh_f.reshape(-1)), j(packed.bvh_i.reshape(-1)),
-            j(packed.prim_i.reshape(-1)))
 
     # chunk tiles like _render_tiles (watchdog bound; the recorder does the
     # same per-segment work as the renderer)
@@ -1207,30 +1281,28 @@ def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
     tile_s = TILE * spp * max(2, min(max_depth, 6)) * seg_ops / 150e9
     tile_chunk = max(1, min(n_tiles, int(8.0 / max(tile_s, 1e-4))))
 
-    fns = {}
     outs = []
     for t0 in range(0, n_tiles, tile_chunk):
         nt = min(tile_chunk, n_tiles - t0)
-        if nt not in fns:
-            fns[nt] = jax.jit(pl.pallas_call(
-                kernel,
-                out_shape=[jax.ShapeDtypeStruct((nt * rows_per_tile, LANES),
-                                                jnp.int32)],
-                grid=(nt,),
-                in_specs=[smem(), smem(), smem(), smem(), smem(), smem(),
-                          vmem(), vmem(), vmem(),
-                          smem(), smem(), smem(), smem()],
-                out_specs=[pl.BlockSpec((rows_per_tile, LANES),
-                                        lambda i: (i, 0),
-                                        memory_space=pltpu.VMEM)],
-                interpret=pltpu.InterpretParams() if interpret else False,
-            ))
-        outs.append(fns[nt](*args, j(np.asarray([seed, t0], np.int32)))[0])
-    rec = jnp.concatenate(outs)  # (n_tiles*spp*depth*ROWS, LANES), on device
+        fn = _get_call(camera, w, h, spp, max_depth, dims, flags, med_types,
+                       img_dims, sample_offset, nt, True, interpret)
+        outs.append(fn(*dev_args,
+                       jnp.asarray(np.asarray([seed, t0], np.int32)))[0])
+    rec = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     # unswizzle ON DEVICE (the tunnel makes host round-trips of ~100 MB
     # record buffers cost seconds): tile-major lanes -> pixel order
-    r = rec.reshape(nby, nbx, spp, max_depth, BLOCK, BLOCK)
-    img = r.transpose(2, 3, 0, 4, 1, 5).reshape(
-        spp, max_depth, nby * BLOCK, nbx * BLOCK)[:, :, :h, :w]
-    return img.reshape(spp, max_depth, h * w)
+    return _record_unswizzle_fn(w, h, nbx, nby, spp, max_depth)(rec)
+
+
+@functools.lru_cache(maxsize=32)
+def _record_unswizzle_fn(w: int, h: int, nbx: int, nby: int, spp: int,
+                         max_depth: int):
+    @jax.jit
+    def go(rec):
+        r = rec.reshape(nby, nbx, spp, max_depth, BLOCK, BLOCK)
+        img = r.transpose(2, 3, 0, 4, 1, 5).reshape(
+            spp, max_depth, nby * BLOCK, nbx * BLOCK)[:, :, :h, :w]
+        return img.reshape(spp, max_depth, h * w)
+
+    return go

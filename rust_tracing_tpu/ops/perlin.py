@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from .tgather import tgather
+
 POINT_COUNT = 256
 
 
@@ -28,43 +30,61 @@ def make_tables(seed: int = 0):
     return ranvec, perms[0], perms[1], perms[2]
 
 
+def noise_c(ranvec, perm_x, perm_y, perm_z, px, py, pz):
+    """Component-form Perlin noise: dense ``(R,)`` lanes in and out (TPU XLA
+    pads a trailing 3-axis to 128 lanes — 42x waste — so the hot paths stay
+    in component form). reference: src/perlin.rs:27-49 + :81-100."""
+    fx, fy, fz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    ux, uy, uz = px - fx, py - fy, pz - fz
+    # Hermite smoothing u*u*(3-2u) (perlin.rs:82-84).
+    sx = ux * ux * (3.0 - 2.0 * ux)
+    sy = uy * uy * (3.0 - 2.0 * uy)
+    sz = uz * uz * (3.0 - 2.0 * uz)
+    rx, ry, rz = ranvec[:, 0], ranvec[:, 1], ranvec[:, 2]
+
+    acc = jnp.zeros_like(px)
+    for di in (0, 1):
+        hx = perm_x[(ix + di) & 255]
+        wx = jnp.where(di == 1, sx, 1.0 - sx)
+        for dj in (0, 1):
+            hy = perm_y[(iy + dj) & 255]
+            wy = jnp.where(dj == 1, sy, 1.0 - sy)
+            for dk in (0, 1):
+                hz = perm_z[(iz + dk) & 255]
+                wz = jnp.where(dk == 1, sz, 1.0 - sz)
+                h = hx ^ hy ^ hz  # perlin.rs:41-44
+                dot = (tgather(rx, h) * (ux - di) + tgather(ry, h) * (uy - dj)
+                       + tgather(rz, h) * (uz - dk))
+                acc = acc + wx * wy * wz * dot
+    return acc
+
+
 def noise(ranvec, perm_x, perm_y, perm_z, p):
     """Perlin noise at points ``p[..., 3]`` -> ``[...]`` in roughly [-1, 1].
 
-    reference: src/perlin.rs:27-49 + trilinear_interpolation :81-100.
+    Array wrapper over :func:`noise_c` (the component core).
     """
-    pf = jnp.floor(p)
-    ijk = pf.astype(jnp.int32)
-    uvw = p - pf
-    # Hermite smoothing u*u*(3-2u) (perlin.rs:82-84).
-    s = uvw * uvw * (3.0 - 2.0 * uvw)
+    return noise_c(jnp.asarray(ranvec, p.dtype), perm_x, perm_y, perm_z,
+                   p[..., 0], p[..., 1], p[..., 2])
 
-    acc = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    for di in (0, 1):
-        hx = perm_x[(ijk[..., 0] + di) & 255]
-        wx = jnp.where(di == 1, s[..., 0], 1.0 - s[..., 0])
-        for dj in (0, 1):
-            hy = perm_y[(ijk[..., 1] + dj) & 255]
-            wy = jnp.where(dj == 1, s[..., 1], 1.0 - s[..., 1])
-            for dk in (0, 1):
-                hz = perm_z[(ijk[..., 2] + dk) & 255]
-                wz = jnp.where(dk == 1, s[..., 2], 1.0 - s[..., 2])
-                g = ranvec[hx ^ hy ^ hz]  # perlin.rs:41-44
-                weight = jnp.stack(
-                    [uvw[..., 0] - di, uvw[..., 1] - dj, uvw[..., 2] - dk],
-                    axis=-1,
-                )
-                acc = acc + wx * wy * wz * jnp.sum(g * weight, axis=-1)
-    return acc
+
+def turbulence_c(ranvec, perm_x, perm_y, perm_z, px, py, pz, depth: int = 7):
+    """Component form of :func:`turbulence` (perlin.rs:52-64)."""
+    acc = jnp.zeros_like(px)
+    weight = 1.0
+    s = 1.0
+    for _ in range(depth):
+        acc = acc + weight * noise_c(ranvec, perm_x, perm_y, perm_z,
+                                     px * s, py * s, pz * s)
+        weight *= 0.5
+        s *= 2.0
+    return jnp.abs(acc)
 
 
 def turbulence(ranvec, perm_x, perm_y, perm_z, p, depth: int = 7):
     """reference: src/perlin.rs:52-64 (absolute value of the octave sum)."""
-    acc = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    weight = 1.0
-    q = p
-    for _ in range(depth):
-        acc = acc + weight * noise(ranvec, perm_x, perm_y, perm_z, q)
-        weight *= 0.5
-        q = q * 2.0
-    return jnp.abs(acc)
+    return turbulence_c(jnp.asarray(ranvec, p.dtype), perm_x, perm_y, perm_z,
+                        p[..., 0], p[..., 1], p[..., 2], depth)

@@ -28,13 +28,16 @@ Record encoding (int32): kind * 2^24 + idx, with kind 0 = miss, 1 = sphere,
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from ..config import T_MIN
 from . import hashrng, intersect
 from . import linalg as la
-from .materials import scatter_and_emit
+from .materials import scatter_and_emit, scatter_and_emit_c
+from .tgather import tgather
 
 KIND_MISS = 0
 KIND_SPHERE = 1
@@ -68,17 +71,20 @@ def record_from_hitfn(scene, origin, direction, time, rngb, hit_fn=None):
         scene_sg, sg(origin), sg(direction), sg(time),
         jnp.full_like(time, intersect.BIG))
     t_surf = jnp.minimum(t_sph, t_quad)
-    t_med, _ = intersect.medium_candidates(scene_sg, sg(origin),
-                                           sg(direction), sg(time), t_surf,
-                                           rngb)
-    med_wins = t_med < t_surf
+    if scene.has_media:
+        t_med, _ = intersect.medium_candidates(scene_sg, sg(origin),
+                                               sg(direction), sg(time),
+                                               t_surf, rngb)
+        med_wins = t_med < t_surf
+        # which medium won: argmin over candidates (re-derive like
+        # medium_candidates does internally)
+        med_idx = _winning_medium(scene_sg, sg(origin), sg(direction),
+                                  sg(time), t_surf, rngb)
+    else:
+        med_wins = jnp.zeros(time.shape, bool)
+        med_idx = jnp.zeros(time.shape, jnp.int32)
     sph_wins = (~med_wins) & (t_sph <= t_quad) & jnp.isfinite(t_sph)
     quad_wins = (~med_wins) & (~sph_wins) & jnp.isfinite(t_quad)
-
-    # which medium won: argmin over candidates (re-derive like
-    # medium_candidates does internally)
-    med_idx = _winning_medium(scene_sg, sg(origin), sg(direction), sg(time),
-                              t_surf, rngb)
 
     kind = jnp.where(
         med_wins, KIND_MEDIUM + med_idx,
@@ -131,8 +137,51 @@ def _winning_medium(scene, origin, direction, time, t_surf, rngb):
     return jnp.argmin(t, axis=-1).astype(jnp.int32)
 
 
-def hit_from_record(scene, origin, direction, time, rngb, rec) -> intersect.Hit:
-    """Differentiable O(R) Hit reconstruction for recorded winners."""
+class HitC(NamedTuple):
+    """Component-form hit record: dense (R,) lanes (no (R,3) arrays — TPU XLA
+    pads a trailing 3-axis to 128 vector lanes, a 42x waste)."""
+
+    hit: jnp.ndarray
+    t: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    front_face: jnp.ndarray
+    mat_id: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    is_surface: jnp.ndarray
+
+
+def _sphere_uv_c(nx, ny, nz):
+    """Component form of intersect._sphere_uv (sphere.rs:48-52) with the same
+    pole/axis degeneracy guards."""
+    y = jnp.clip(-ny, -1.0, 1.0)
+    interior = jnp.abs(y) < 1.0 - 1e-7
+    theta = jnp.where(
+        interior,
+        jnp.arccos(jnp.where(interior, y, 0.0)),
+        jnp.where(y > 0, 0.0, jnp.pi),
+    )
+    xz_deg = (jnp.abs(nx) + jnp.abs(nz)) < 1e-12
+    phi = jnp.where(
+        xz_deg,
+        0.0,
+        jnp.arctan2(
+            jnp.where(xz_deg, 0.0, -nz),
+            jnp.where(xz_deg, 1.0, nx),
+        ),
+    ) + jnp.pi
+    return phi / (2.0 * jnp.pi), theta / jnp.pi
+
+
+def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
+                      rec) -> HitC:
+    """Differentiable O(R) component-form hit reconstruction for recorded
+    winners."""
     kind, idx = unpack_record(rec)
     is_sph = kind == KIND_SPHERE
     is_quad = kind == KIND_QUAD
@@ -143,12 +192,19 @@ def hit_from_record(scene, origin, direction, time, rngb, rec) -> intersect.Hit:
     i_sph = jnp.where(is_sph, idx, 0)
     i_quad = jnp.where(is_quad, idx, 0)
 
+    a = dx * dx + dy * dy + dz * dz
+
     # --- sphere winner t (near root if valid else far; sphere.rs:59-89)
-    cw = scene.sph_center[i_sph] + scene.sph_cvec[i_sph] * time[:, None]
-    ocw = origin - cw
-    a = la.length_squared(direction)
-    hb = la.dot(ocw, direction)
-    cq = la.length_squared(ocw) - scene.sph_radius[i_sph] ** 2
+    cwx = (tgather(scene.sph_center[:, 0], i_sph)
+           + tgather(scene.sph_cvec[:, 0], i_sph) * time)
+    cwy = (tgather(scene.sph_center[:, 1], i_sph)
+           + tgather(scene.sph_cvec[:, 1], i_sph) * time)
+    cwz = (tgather(scene.sph_center[:, 2], i_sph)
+           + tgather(scene.sph_cvec[:, 2], i_sph) * time)
+    ocx, ocy, ocz = ox - cwx, oy - cwy, oz - cwz
+    hb = ocx * dx + ocy * dy + ocz * dz
+    cq = (ocx * ocx + ocy * ocy + ocz * ocz
+          - tgather(scene.sph_radius, i_sph) ** 2)
     disc = hb * hb - a * cq
     sq = intersect._safe_sqrt(disc, is_sph & (disc > 0))
     r1 = intersect._safe_div(-hb - sq, a)
@@ -157,30 +213,54 @@ def hit_from_record(scene, origin, direction, time, rngb, rec) -> intersect.Hit:
 
     # --- quad winner t, alpha, beta (quad.rs:96-133)
     normal_all, d_plane, w_all = scene.quad_frame()
-    nw = normal_all[i_quad]
-    denw = la.dot(nw, direction)
-    t_q = intersect._safe_div(d_plane[i_quad] - la.dot(nw, origin), denw)
-    pw = origin + t_q[:, None] * direction
-    plw = pw - scene.quad_q[i_quad]
-    alpha = la.dot(w_all[i_quad], la.cross(plw, scene.quad_v[i_quad]))
-    beta = la.dot(w_all[i_quad], la.cross(scene.quad_u[i_quad], plw))
+    nwx = tgather(normal_all[:, 0], i_quad)
+    nwy = tgather(normal_all[:, 1], i_quad)
+    nwz = tgather(normal_all[:, 2], i_quad)
+    denw = nwx * dx + nwy * dy + nwz * dz
+    t_q = intersect._safe_div(
+        tgather(d_plane, i_quad) - (nwx * ox + nwy * oy + nwz * oz), denw)
+    plx = ox + t_q * dx - tgather(scene.quad_q[:, 0], i_quad)
+    ply = oy + t_q * dy - tgather(scene.quad_q[:, 1], i_quad)
+    plz = oz + t_q * dz - tgather(scene.quad_q[:, 2], i_quad)
+    qux = tgather(scene.quad_u[:, 0], i_quad)
+    quy = tgather(scene.quad_u[:, 1], i_quad)
+    quz = tgather(scene.quad_u[:, 2], i_quad)
+    qvx = tgather(scene.quad_v[:, 0], i_quad)
+    qvy = tgather(scene.quad_v[:, 1], i_quad)
+    qvz = tgather(scene.quad_v[:, 2], i_quad)
+    wx = tgather(w_all[:, 0], i_quad)
+    wy = tgather(w_all[:, 1], i_quad)
+    wz = tgather(w_all[:, 2], i_quad)
+    alpha = (wx * (ply * qvz - plz * qvy) + wy * (plz * qvx - plx * qvz)
+             + wz * (plx * qvy - ply * qvx))
+    beta = (wx * (quy * plz - quz * ply) + wy * (quz * plx - qux * plz)
+            + wz * (qux * ply - quy * plx))
 
-    # --- medium winner t (constant_medium.rs:34-71, recorded medium only)
-    t_m = _medium_t(scene, origin, direction, rngb, med_idx, t_s, t_q,
-                    is_sph, is_quad)
+    # --- medium winner t (constant_medium.rs:34-71, recorded medium only);
+    # statically pruned for media-free scenes (no medium is ever recorded)
+    if scene.has_media:
+        t_m = _medium_t_c(scene, ox, oy, oz, dx, dy, dz, a, rngb, med_idx)
+    else:
+        t_m = jnp.zeros_like(t_s)
 
     t = jnp.where(is_med, t_m, jnp.where(is_sph, t_s,
                                          jnp.where(is_quad, t_q, 0.0)))
-    p = la.ray_at(origin, direction, t)
+    px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
 
-    r_best = jnp.maximum(scene.sph_radius[i_sph], 1e-12)
-    sph_outward = (p - cw) / r_best[:, None]
-    sph_u, sph_v = intersect._sphere_uv(sph_outward)
+    # division (not reciprocal-multiply): bitwise-matches the direct path's
+    # assemble_hit (intersect.py) for the replay==direct gradient tests
+    r_best = jnp.maximum(tgather(scene.sph_radius, i_sph), 1e-12)
+    sox = (px - cwx) / r_best
+    soy = (py - cwy) / r_best
+    soz = (pz - cwz) / r_best
+    sph_u, sph_v = _sphere_uv_c(sox, soy, soz)
 
-    outward = jnp.where(is_sph[:, None], sph_outward, nw)
-    outward = jnp.where(is_med[:, None], direction, outward)
-    front_face = la.dot(direction, outward) < 0.0
-    normal = jnp.where(front_face[:, None], outward, -outward)
+    outx = jnp.where(is_med, dx, jnp.where(is_sph, sox, nwx))
+    outy = jnp.where(is_med, dy, jnp.where(is_sph, soy, nwy))
+    outz = jnp.where(is_med, dz, jnp.where(is_sph, soz, nwz))
+    front_face = (dx * outx + dy * outy + dz * outz) < 0.0
+    sign = jnp.where(front_face, 1.0, -1.0)
+    nx, ny, nz = sign * outx, sign * outy, sign * outz
 
     u = jnp.where(is_sph, sph_u, jnp.where(is_quad, alpha, 0.0))
     v = jnp.where(is_sph, sph_v, jnp.where(is_quad, beta, 0.0))
@@ -189,43 +269,63 @@ def hit_from_record(scene, origin, direction, time, rngb, rec) -> intersect.Hit:
         jnp.where(is_sph, scene.sph_mat[i_sph], scene.quad_mat[i_quad]),
     ).astype(jnp.int32)
 
-    return intersect.Hit(hit=any_hit, t=t, p=p, normal=normal,
-                         front_face=front_face, mat_id=mat_id, u=u, v=v,
-                         is_surface=~is_med)
+    return HitC(hit=any_hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
+                front_face=front_face, mat_id=mat_id, u=u, v=v,
+                is_surface=~is_med)
 
 
-def _medium_t(scene, origin, direction, rngb, med_idx, t_s, t_q,
-              is_sph, is_quad):
-    """Recorded medium's scatter t: entry/exit of ITS boundary, exit clamped
-    by the surface window (which, for a medium win, is the closest surface —
-    not recorded, so recompute the unclamped surface t is unnecessary: the
-    kernel guaranteed t_m < t_surf, and t_m depends on t_surf only through
-    the dist_inside rejection, which the record already resolved)."""
-    # gather the recorded medium's parameters
-    rot = scene.med_rot[med_idx]
-    o_rel = origin - scene.med_trans[med_idx]
-    o_l = jnp.sum(rot * o_rel[:, None, :], axis=-1)
-    d_l = jnp.sum(rot * direction[:, None, :], axis=-1)
-    inv_d = intersect._safe_div(jnp.ones_like(d_l), d_l)
-    t0 = (scene.med_lo[med_idx] - o_l) * inv_d
-    t1 = (scene.med_hi[med_idx] - o_l) * inv_d
-    b_entry = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    b_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+def hit_from_record(scene, origin, direction, time, rngb,
+                    rec) -> intersect.Hit:
+    """Array wrapper over :func:`hit_from_record_c` (oracle/test API)."""
+    h = hit_from_record_c(scene, origin[:, 0], origin[:, 1], origin[:, 2],
+                          direction[:, 0], direction[:, 1], direction[:, 2],
+                          time, rngb, rec)
+    return intersect.Hit(
+        hit=h.hit, t=h.t,
+        p=jnp.stack([h.px, h.py, h.pz], axis=-1),
+        normal=jnp.stack([h.nx, h.ny, h.nz], axis=-1),
+        front_face=h.front_face, mat_id=h.mat_id, u=h.u, v=h.v,
+        is_surface=h.is_surface)
 
-    oc = origin - scene.med_sph_center[med_idx]
-    a = la.length_squared(direction)
-    half_b = la.dot(oc, direction)
-    c = la.length_squared(oc) - scene.med_sph_radius[med_idx] ** 2
+
+def _medium_t_c(scene, ox, oy, oz, dx, dy, dz, a, rngb, med_idx):
+    """Recorded medium's scatter t, component form: entry of ITS boundary
+    plus the exponential free flight. The kernel guaranteed t_m < t_surf and
+    resolved the dist_inside rejection, so no surface window recompute is
+    needed (constant_medium.rs:34-71)."""
+    orx = ox - tgather(scene.med_trans[:, 0], med_idx)
+    ory = oy - tgather(scene.med_trans[:, 1], med_idx)
+    orz = oz - tgather(scene.med_trans[:, 2], med_idx)
+    rot = scene.med_rot.reshape(-1, 9)
+    b_entry = jnp.full_like(ox, -jnp.inf)
+    b_exit = jnp.full_like(ox, jnp.inf)
+    for ax in range(3):
+        r0 = tgather(rot[:, 3 * ax + 0], med_idx)
+        r1 = tgather(rot[:, 3 * ax + 1], med_idx)
+        r2 = tgather(rot[:, 3 * ax + 2], med_idx)
+        o_l = r0 * orx + r1 * ory + r2 * orz
+        d_l = r0 * dx + r1 * dy + r2 * dz
+        inv_d = intersect._safe_div(jnp.ones_like(d_l), d_l)
+        t0 = (tgather(scene.med_lo[:, ax], med_idx) - o_l) * inv_d
+        t1 = (tgather(scene.med_hi[:, ax], med_idx) - o_l) * inv_d
+        b_entry = jnp.maximum(b_entry, jnp.minimum(t0, t1))
+        b_exit = jnp.minimum(b_exit, jnp.maximum(t0, t1))
+
+    mcx = ox - tgather(scene.med_sph_center[:, 0], med_idx)
+    mcy = oy - tgather(scene.med_sph_center[:, 1], med_idx)
+    mcz = oz - tgather(scene.med_sph_center[:, 2], med_idx)
+    half_b = mcx * dx + mcy * dy + mcz * dz
+    c = (mcx * mcx + mcy * mcy + mcz * mcz
+         - tgather(scene.med_sph_radius, med_idx) ** 2)
     disc = half_b * half_b - a * c
     sq = intersect._safe_sqrt(disc, disc > 0)
     s_entry = intersect._safe_div(-half_b - sq, a)
-    s_exit = intersect._safe_div(-half_b + sq, a)
 
     is_box = scene.med_type[med_idx] == 1
     entry = jnp.maximum(jnp.where(is_box, b_entry, s_entry),
-                        jnp.asarray(T_MIN, origin.dtype))
+                        jnp.asarray(T_MIN, ox.dtype))
 
-    ray_len = la.length(direction)
+    ray_len = jnp.sqrt(a)
     # same draw the search consumed for this medium (site = SITE_MEDIUM + m).
     # med_idx is data-dependent but draws are cheap: evaluate the recorded
     # medium's site via a masked select over the (small, static) medium count.
@@ -233,62 +333,100 @@ def _medium_t(scene, origin, direction, rngb, med_idx, t_s, t_q,
     u = jnp.zeros_like(entry)
     for m in range(M):
         u = jnp.where(med_idx == m, rngb.uniform(hashrng.SITE_MEDIUM + m), u)
-    u = jnp.maximum(u, 1e-12).astype(origin.dtype)
-    hd = scene.med_neg_inv_density[med_idx] * jnp.log(u)
+    u = jnp.maximum(u, 1e-12).astype(ox.dtype)
+    hd = tgather(scene.med_neg_inv_density, med_idx) * jnp.log(u)
     return entry + hd / jnp.maximum(ray_len, 1e-30)
 
 
 def trace_replay(scene, origin, direction, time, rng_idx, records,
-                 max_depth: int):
+                 max_depth: int, remat: bool = False):
     """Search-free differentiable clone of integrator.trace: per-bounce hits
     come from ``records`` (max_depth, R) int32 instead of a scene search.
+
+    Fully COMPONENT FORM internally: the scan carry is 14 dense (R,) lanes —
+    never an (R,3) array, whose trailing axis TPU XLA pads to 128 vector
+    lanes (a 42x memory/bandwidth expansion, measured: the (R,3)-carry
+    version OOM'd at 8 samples and ran 42x under VPU speed).
+
+    ``remat`` rematerializes each bounce in reverse mode (jax.checkpoint on
+    the scan step) under a save-the-RNG policy ('rt_rng' names): backward
+    recomputes the cheap O(R) select/product chain but not the
+    transcendental samplers — the memory knob that lets the whole spp batch
+    flatten into one wavefront (grad.radiance_mean_replay_rays).
 
     Returns (radiance (R,3), bounces (R,) int32) like integrator.trace.
     """
     seed, pixel_ids, sample = rng_idx
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
 
-    init = (
-        origin,
-        direction,
-        jnp.ones_like(origin),
-        jnp.zeros_like(origin),
-        time < jnp.inf,
-        jnp.zeros_like(time, dtype=jnp.int32),
-    )
+    init = (ox, oy, oz, dx, dy, dz,
+            one, one, one,  # throughput
+            zero, zero, zero,  # radiance
+            time < jnp.inf,  # alive
+            jnp.zeros_like(time, dtype=jnp.int32))  # bounce counter
+
+    bg_r = scene.background[0]
+    bg_g = scene.background[1]
+    bg_b = scene.background[2]
 
     def step(carry, xs):
         depth_i, rec = xs
-        o, d, tp, rad, alive, nb = carry
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive, nb) = carry
         rngb = hashrng.CounterRng(seed, pixel_ids, sample, depth_i)
 
-        hit = hit_from_record(scene, o, d, time, rngb, rec)
+        h = hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb, rec)
         nb = nb + alive.astype(jnp.int32)
 
-        miss = alive & ~hit.hit
-        rad = rad + jnp.where(miss[:, None], tp * scene.background, 0.0)
+        miss = alive & ~h.hit
+        rr = rr + jnp.where(miss, tr * bg_r, 0.0)
+        rg = rg + jnp.where(miss, tg * bg_g, 0.0)
+        rb = rb + jnp.where(miss, tb * bg_b, 0.0)
 
-        s = scatter_and_emit(scene, rngb, d, hit)
-        live_hit = alive & hit.hit
-        rad = rad + jnp.where(live_hit[:, None], tp * s.emitted, 0.0)
+        s = scatter_and_emit_c(scene, rngb, dx, dy, dz,
+                               h.nx, h.ny, h.nz, h.front_face, h.mat_id,
+                               h.u, h.v, h.px, h.py, h.pz)
+        live_hit = alive & h.hit
+        rr = rr + jnp.where(live_hit, tr * s.er, 0.0)
+        rg = rg + jnp.where(live_hit, tg * s.eg, 0.0)
+        rb = rb + jnp.where(live_hit, tb * s.eb, 0.0)
 
         scat = live_hit & s.scattered
-        tp = jnp.where(scat[:, None], tp * s.attenuation, tp)
+        tr = jnp.where(scat, tr * s.ar, tr)
+        tg = jnp.where(scat, tg * s.ag, tg)
+        tb = jnp.where(scat, tb * s.ab, tb)
 
-        side = jnp.sign(jnp.sum(s.direction * hit.normal, axis=-1,
-                                keepdims=True))
-        scale = jnp.max(jnp.abs(hit.p), axis=-1, keepdims=True)
+        # f32 origin offset (see ops/integrator.py), media excluded
+        side = jnp.sign(s.dx * h.nx + s.dy * h.ny + s.dz * h.nz)
+        scale = jnp.maximum(jnp.abs(h.px),
+                            jnp.maximum(jnp.abs(h.py), jnp.abs(h.pz)))
         eps = 1e-4 + 2e-4 * scale
-        new_o = hit.p + jnp.where(hit.is_surface[:, None],
-                                  side * hit.normal * eps, 0.0)
-        o = jnp.where(scat[:, None], new_o, o)
-        d = jnp.where(scat[:, None], s.direction, d)
+        off = jnp.where(h.is_surface, side * eps, 0.0)
+        ox = jnp.where(scat, h.px + off * h.nx, ox)
+        oy = jnp.where(scat, h.py + off * h.ny, oy)
+        oz = jnp.where(scat, h.pz + off * h.nz, oz)
+        dx = jnp.where(scat, s.dx, dx)
+        dy = jnp.where(scat, s.dy, dy)
+        dz = jnp.where(scat, s.dz, dz)
         alive = scat
-        return (o, d, tp, rad, alive, nb), None
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
+                nb), None
 
     depths = jnp.arange(max_depth, dtype=jnp.int32)
-    (o, d, tp, rad, alive, nb), _ = jax.lax.scan(step, init,
-                                                 (depths, records))
-    return rad, nb
+    if remat:
+        # Save the checkpoint-named RNG tensors (ops/materials.py 'rt_rng'):
+        # they are pure functions of counters — no parameter dependencies —
+        # so re-deriving their transcendental chains in the backward segment
+        # would be pure waste. Everything else is recomputed.
+        policy = jax.checkpoint_policies.save_only_these_names("rt_rng")
+        step_fn = jax.checkpoint(step, policy=policy)
+    else:
+        step_fn = step
+    carry, _ = jax.lax.scan(step_fn, init, (depths, records))
+    rr, rg, rb, nb = carry[9], carry[10], carry[11], carry[13]
+    return jnp.stack([rr, rg, rb], axis=-1), nb
 
 
 def records_xla(scene, cam, pixel_ids, seed, spp: int, max_depth: int,
@@ -307,8 +445,7 @@ def records_xla(scene, cam, pixel_ids, seed, spp: int, max_depth: int,
             hit = hit_from_record(scene, o, d, t, rngb, rec)
             sc = scatter_and_emit(scene, rngb, d, hit)
             scat = tp_alive & hit.hit & sc.scattered
-            side = jnp.sign(jnp.sum(sc.direction * hit.normal, axis=-1,
-                                    keepdims=True))
+            side = jnp.sign(la.dot(sc.direction, hit.normal))[:, None]
             scale = jnp.max(jnp.abs(hit.p), axis=-1, keepdims=True)
             eps = 1e-4 + 2e-4 * scale
             new_o = hit.p + jnp.where(hit.is_surface[:, None],

@@ -5,6 +5,11 @@ dynamically per hit; here every texture *type* present in the scene is
 evaluated vectorized and the per-ray result selected by type code. Static
 ``has_*`` flags on the compiled scene prune whole families at trace time so
 e.g. Cornell never pays for Perlin octaves.
+
+The implementation is COMPONENT FORM (``texture_value_c``: dense ``(R,)``
+channel lanes — TPU XLA pads a trailing 3-axis to 128 vector lanes, a 42x
+memory/bandwidth waste, so the hot wavefront paths never materialize
+``(R, 3)``); ``texture_value`` is the thin array wrapper.
 """
 
 from __future__ import annotations
@@ -13,11 +18,15 @@ import jax.numpy as jnp
 
 from ..models.scene import TEX_CHECKER, TEX_IMAGE, TEX_NOISE
 from . import perlin as perlin_ops
+from .tgather import tgather
 
 
-def _leaf_value(scene, tid, u, v, p, turb=None):
-    """Value of non-checker textures (solid/image/noise) for ids ``tid``."""
-    val = scene.tex_rgb[tid]  # solid (texture.rs:16-36)
+def _leaf_value_c(scene, tid, u, v, px, py, pz, turb=None):
+    """(r, g, b) of non-checker textures (solid/image/noise) for ids ``tid``."""
+    # solid (texture.rs:16-36): per-channel column gathers
+    r = tgather(scene.tex_rgb[:, 0], tid)
+    g = tgather(scene.tex_rgb[:, 1], tid)
+    b = tgather(scene.tex_rgb[:, 2], tid)
     ttype = scene.tex_type[tid]
 
     if scene.has_image:
@@ -28,36 +37,57 @@ def _leaf_value(scene, tid, u, v, p, turb=None):
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)
         i = (uc * (w - 1)).astype(jnp.int32)
         j = (vc * (h - 1)).astype(jnp.int32)
-        img_val = scene.image[j, i]
-        val = jnp.where((ttype == TEX_IMAGE)[..., None], img_val, val)
+        lin = j * w + i
+        flat = scene.image.reshape(-1, 3)
+        is_img = ttype == TEX_IMAGE
+        r = jnp.where(is_img, tgather(flat[:, 0], lin), r)
+        g = jnp.where(is_img, tgather(flat[:, 1], lin), g)
+        b = jnp.where(is_img, tgather(flat[:, 2], lin), b)
 
     if scene.has_noise:
         # Marble: sin(scale*z + 10*turbulence(p,7))*0.5+0.5 (texture.rs:107-111).
-        scale = scene.tex_noise_scale[tid]
-        marble = jnp.sin(scale * p[..., 2] + 10.0 * turb) * 0.5 + 0.5
-        val = jnp.where((ttype == TEX_NOISE)[..., None], marble[..., None], val)
+        scale = tgather(scene.tex_noise_scale, tid)
+        marble = jnp.sin(scale * pz + 10.0 * turb) * 0.5 + 0.5
+        is_noise = ttype == TEX_NOISE
+        r = jnp.where(is_noise, marble, r)
+        g = jnp.where(is_noise, marble, g)
+        b = jnp.where(is_noise, marble, b)
 
-    return val
+    return r, g, b
 
 
-def texture_value(scene, tid, u, v, p):
-    """Evaluate texture ids ``tid`` at (u, v, p) -> ``[..., 3]``."""
+def texture_value_c(scene, tid, u, v, px, py, pz):
+    """Component-form texture evaluation -> ``(r, g, b)`` dense lanes."""
     turb = None
     if scene.has_noise:
-        turb = perlin_ops.turbulence(
-            scene.perlin_ranvec, scene.perlin_px, scene.perlin_py, scene.perlin_pz,
-            p, depth=7,
-        )
+        turb = perlin_ops.turbulence_c(
+            jnp.asarray(scene.perlin_ranvec, px.dtype), scene.perlin_px,
+            scene.perlin_py, scene.perlin_pz, px, py, pz, depth=7)
 
-    val = _leaf_value(scene, tid, u, v, p, turb)
+    r, g, b = _leaf_value_c(scene, tid, u, v, px, py, pz, turb)
 
     if scene.has_checker:
         # 3-D world-space parity of floor(p / scale) (texture.rs:59-70).
-        f = jnp.floor(scene.tex_inv_scale[tid][..., None] * p).astype(jnp.int32)
-        is_even = (f[..., 0] + f[..., 1] + f[..., 2]) % 2 == 0
-        even_val = _leaf_value(scene, scene.tex_even[tid], u, v, p, turb)
-        odd_val = _leaf_value(scene, scene.tex_odd[tid], u, v, p, turb)
-        checker_val = jnp.where(is_even[..., None], even_val, odd_val)
-        val = jnp.where((scene.tex_type[tid] == TEX_CHECKER)[..., None], checker_val, val)
+        inv = tgather(scene.tex_inv_scale, tid)
+        fsum = (jnp.floor(inv * px).astype(jnp.int32)
+                + jnp.floor(inv * py).astype(jnp.int32)
+                + jnp.floor(inv * pz).astype(jnp.int32))
+        is_even = fsum % 2 == 0
+        er, eg, eb = _leaf_value_c(scene, scene.tex_even[tid], u, v,
+                                   px, py, pz, turb)
+        orr, og, ob = _leaf_value_c(scene, scene.tex_odd[tid], u, v,
+                                    px, py, pz, turb)
+        is_chk = scene.tex_type[tid] == TEX_CHECKER
+        r = jnp.where(is_chk, jnp.where(is_even, er, orr), r)
+        g = jnp.where(is_chk, jnp.where(is_even, eg, og), g)
+        b = jnp.where(is_chk, jnp.where(is_even, eb, ob), b)
 
-    return val
+    return r, g, b
+
+
+def texture_value(scene, tid, u, v, p):
+    """Evaluate texture ids ``tid`` at (u, v, p) -> ``[..., 3]`` (array
+    wrapper over the component core)."""
+    r, g, b = texture_value_c(scene, tid, u, v,
+                              p[..., 0], p[..., 1], p[..., 2])
+    return jnp.stack([r, g, b], axis=-1)
