@@ -11,12 +11,17 @@ import jax.numpy as jnp
 
 
 def dot(a, b):
-    """reference: src/vec3.rs:104-107 (returns ``[...]``).
+    """3-vector dot product; the last axis MUST be exactly 3.
+
+    reference: src/vec3.rs:104-107 (returns ``[...]``).
 
     Written as explicit left-associated component adds (not a reduce) so the
     [..., 3] array path and the component-form path (ops/replay.py, dense
     (R,) lanes) produce bitwise-identical sums — the replay-equals-direct
-    gradient tests compare exactly."""
+    gradient tests compare exactly. Deliberately NOT a generic reduction:
+    extra trailing components would be silently dropped, so assert."""
+    assert a.shape[-1] == 3 and b.shape[-1] == 3, (
+        f"dot expects [..., 3] vectors, got {a.shape} . {b.shape}")
     return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
             + a[..., 2] * b[..., 2])
 

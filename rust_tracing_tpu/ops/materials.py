@@ -182,10 +182,15 @@ def scatter_and_emit_c(scene, rngb, d_in_x, d_in_y, d_in_z,
         scattered = jnp.where(is_metal, metal_ok, scattered)
 
     # Emission (material.rs:114-122): only DiffuseLight, ignores front_face.
+    # Statically pruned like the other families: a lightless scene (sky
+    # backgrounds) emits constant zeros and XLA drops the selects entirely.
     zero = jnp.zeros_like(ar)
-    er = jnp.where(is_light, tex_r, zero)
-    eg = jnp.where(is_light, tex_g, zero)
-    eb = jnp.where(is_light, tex_b, zero)
+    if scene.has_lights:
+        er = jnp.where(is_light, tex_r, zero)
+        eg = jnp.where(is_light, tex_g, zero)
+        eb = jnp.where(is_light, tex_b, zero)
+    else:
+        er = eg = eb = zero
 
     return ScatterC(dir_x, dir_y, dir_z, ar, ag, ab, scattered, er, eg, eb)
 

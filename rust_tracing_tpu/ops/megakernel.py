@@ -43,6 +43,7 @@ on the XLA path.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import math
@@ -456,7 +457,7 @@ def _turbulence(px, py, pz, depth=7):
 
 # ----------------------------------------------------------------- the kernel
 def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
-                 img_dims, sample_offset=0, origin_eps_abs=1e-4,
+                 img_dims, origin_eps_abs=1e-4,
                  origin_eps_rel=2e-4, record_mode=False):
     """Build the persistent path-regeneration kernel.
 
@@ -503,6 +504,11 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
         # device program runs past the runtime watchdog)
         tile = pl.program_id(0) + seed_ref[1]
         seed_val = seed_ref[0]
+        # RUNTIME sample offset (seed_ref[2]): one compiled kernel serves any
+        # (tile-range, sample-range) shard — under shard_map every device
+        # derives its own offsets from its mesh coordinates (SPMD sharding of
+        # the megakernel; parallel/render_dist.py)
+        sample_offset = seed_ref[2]
 
         lane = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
@@ -1048,9 +1054,15 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
 # The tunnel between host and TPU makes per-call fixed costs expensive: a
 # fresh jax.jit(pl.pallas_call(...)) re-traces the whole kernel (~100s of ms)
 # and re-uploading the packed scene tables costs a round trip per array.
-# Both are pure functions of (scene, kernel config), so cache them.
-_pack_cache: dict = {}   # (id(scene), use_bvh) -> (weakref, packed, dev_args)
-_call_cache: dict = {}   # static kernel config -> jitted pallas_call
+# Both are pure functions of (scene, kernel config), so cache them. Both are
+# BOUNDED: _pack_cache sweeps dead weakrefs and LRU-evicts (device scene
+# tables are HBM — an unbounded cache would leak one table set per
+# compile_scene in a training loop), and _call_cache LRU-evicts so a moving/
+# jittered camera can't accumulate compiled kernels without limit.
+_pack_cache: "collections.OrderedDict" = collections.OrderedDict()
+_PACK_CACHE_MAX = 8      # (id(scene), use_bvh) -> (weakref, packed, dev_args)
+_call_cache: "collections.OrderedDict" = collections.OrderedDict()
+_CALL_CACHE_MAX = 48     # static kernel config -> jitted pallas_call
 
 
 def _cam_key(cam) -> tuple:
@@ -1077,7 +1089,15 @@ def _packed_dev(scene, use_bvh: bool):
     key = (id(scene), bool(use_bvh))
     ent = _pack_cache.get(key)
     if ent is not None and ent[0]() is scene:
+        _pack_cache.move_to_end(key)
         return ent[1], ent[2], ent[3]
+    # miss: sweep entries whose scene died (freeing their device tables) and
+    # bound the cache so a compile-per-step training loop can't leak HBM
+    dead = [k for k, e in _pack_cache.items() if e[0]() is None]
+    for k in dead:
+        del _pack_cache[k]
+    while len(_pack_cache) >= _PACK_CACHE_MAX:
+        _pack_cache.popitem(last=False)
     bvh = build_kernel_bvh(scene) if use_bvh else None
     use_bvh = bvh is not None
     packed = pack_scene(scene, bvh)
@@ -1090,49 +1110,59 @@ def _packed_dev(scene, use_bvh: bool):
             j(packed.prim_i.reshape(-1)))
     try:
         ref = weakref.ref(scene)
-    except TypeError:  # non-weakrefable scene: fall back to always-fresh
+    except TypeError:
+        # non-weakrefable scene: cacheable but evictable (LRU bound above
+        # keeps it from pinning the object forever)
         ref = lambda: scene
     _pack_cache[key] = (ref, packed, args, use_bvh)
     return packed, args, use_bvh
 
 
 def _get_call(cam, width, height, spp, max_depth, dims, flags, med_types,
-              img_dims, sample_offset, nt, record_mode, interpret):
-    """Cached jitted pallas_call for one static kernel configuration."""
+              img_dims, nt, record_mode, interpret, jit=True, vma=None):
+    """Cached pallas_call for one static kernel configuration. ``jit=False``
+    returns the raw (unjitted) callable for embedding inside shard_map;
+    ``vma`` then names the mesh axes the outputs vary over (shard_map's
+    check_vma requires pallas out_shapes to declare it)."""
     key = (_cam_key(cam), width, height, spp, max_depth, dims, flags,
-           med_types, img_dims, sample_offset, nt, record_mode,
-           bool(interpret))
+           med_types, img_dims, nt, record_mode, bool(interpret), bool(jit),
+           vma)
     fn = _call_cache.get(key)
     if fn is not None:
+        _call_cache.move_to_end(key)
         return fn
+    while len(_call_cache) >= _CALL_CACHE_MAX:
+        _call_cache.popitem(last=False)
     kernel = _make_kernel(cam, width, height, spp, max_depth, dims, flags,
-                          med_types, img_dims, sample_offset=sample_offset,
-                          record_mode=record_mode)
+                          med_types, img_dims, record_mode=record_mode)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [smem(), smem(), smem(), smem(), smem(), smem(),
                 vmem(), vmem(), vmem(),
                 smem(), smem(), smem(), smem()]
+    sds = (functools.partial(jax.ShapeDtypeStruct, vma=frozenset(vma))
+           if vma is not None else jax.ShapeDtypeStruct)
     if record_mode:
         rows_per_tile = spp * max_depth * ROWS
-        out_shape = [jax.ShapeDtypeStruct((nt * rows_per_tile, LANES),
-                                          jnp.int32)]
+        out_shape = [sds((nt * rows_per_tile, LANES), jnp.int32)]
         out_specs = [pl.BlockSpec((rows_per_tile, LANES), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
     else:
-        out_shape = [jax.ShapeDtypeStruct((nt * ROWS, LANES), jnp.float32)
+        out_shape = [sds((nt * ROWS, LANES), jnp.float32)
                      for _ in range(4)]
         out_specs = [pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in range(4)]
-    fn = jax.jit(pl.pallas_call(
+    fn = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(nt,),
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=pltpu.InterpretParams() if interpret else False,
-    ))
+    )
+    if jit:
+        fn = jax.jit(fn)
     _call_cache[key] = fn
     return fn
 
@@ -1179,10 +1209,10 @@ def _render_tiles(packed: _PackedScene, cam, width, height, spp, max_depth,
     for t0 in range(0, n_tiles, tile_chunk):
         nt = min(tile_chunk, n_tiles - t0)
         fn = _get_call(cam, width, height, spp, max_depth, dims, flags,
-                       med_types, img_dims, sample_offset, nt, False,
-                       interpret)
+                       med_types, img_dims, nt, False, interpret)
         outs.append(fn(*dev_args,
-                       jnp.asarray(np.asarray([seed, t0], np.int32))))
+                       jnp.asarray(np.asarray([seed, t0, sample_offset],
+                                              np.int32))))
     if len(outs) == 1:
         r, g, b, n = outs[0]
     else:
@@ -1243,6 +1273,123 @@ def render_fast(scene, camera, seed: int = 0, spp: Optional[int] = None,
     return image
 
 
+def render_fast_sharded(scene, camera, mesh, seed: int = 0,
+                        spp: Optional[int] = None,
+                        max_depth: Optional[int] = None,
+                        use_bvh: Optional[bool] = None,
+                        interpret: bool = False, with_stats: bool = False):
+    """SPMD megakernel render over a (rays, sample) device mesh.
+
+    The tile loop of :func:`render_fast` is embarrassingly parallel — here it
+    becomes the shard axis: every device runs the SAME compiled kernel
+    (sample_offset and tile base are runtime SMEM scalars) on its own
+    contiguous tile range, with the spp budget split over the sample axis and
+    psum'd back (the device-mesh analog of rayon's pixel fan-out,
+    renderer.rs:26-49). Scene tables ride replicated; per-chunk dispatches
+    keep each device program under the runtime watchdog exactly like the
+    single-chip path.
+
+    RNG is addressed by (seed, pixel, sample) only — mesh shape never enters
+    it — so the sharded render equals the single-device render bitwise on the
+    rays axis and to float-sum associativity when spp is split (tested on the
+    8-virtual-CPU mesh in interpret mode).
+
+    Returns (H,W,3) float32 (plus exact traced-ray count with ``with_stats``).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import RAYS_AXIS, SAMPLE_AXIS
+
+    spp = spp or camera.samples_per_pixel
+    max_depth = max_depth or camera.max_depth
+    w, h = camera.image_width, camera.image_height
+    n_rd = mesh.shape[RAYS_AXIS]
+    n_sd = mesh.shape[SAMPLE_AXIS]
+    if spp % n_sd:
+        raise ValueError(f"spp={spp} not divisible by sample axis {n_sd}")
+    spp_local = spp // n_sd
+
+    n_prims = int(np.asarray(scene.sph_valid).sum()
+                  + np.asarray(scene.quad_valid).sum())
+    if use_bvh is None:
+        use_bvh = n_prims >= BVH_KERNEL_THRESHOLD
+    packed, dev_args, use_bvh = _packed_dev(scene, use_bvh)
+
+    S, Q, M = packed.n_spheres, packed.n_quads, packed.n_media
+    dims = (S, Q, M, packed.n_mat_chunks, packed.n_tex_chunks,
+            packed.bvh_i.shape[0])
+    flags = (use_bvh, packed.has_checker, packed.has_noise, M > 0,
+             packed.has_image)
+    med_types = tuple(int(t) for t in packed.med_i[:M, 0])
+    img_dims = (packed.img_h, packed.img_w, packed.img_tab.shape[1])
+
+    nbx = (w + BLOCK - 1) // BLOCK
+    nby = (h + BLOCK - 1) // BLOCK
+    n_tiles = nbx * nby
+    # pad so every device owns the same tile count (extra tiles render
+    # clamped edge pixels; dropped before unswizzle)
+    nt_dev = (n_tiles + n_rd - 1) // n_rd
+
+    # watchdog chunking per device program (same model as _render_tiles)
+    n_nodes = packed.bvh_i.shape[0]
+    seg_ops = (25 * (S + Q) if not use_bvh
+               else 15 * n_nodes // 2 + 25 * 8 * max(1, n_nodes // 8))
+    seg_ops = max(seg_ops, 300)
+    plen = max(2, min(max_depth, 6))
+    tile_s = TILE * spp_local * plen * seg_ops / 150e9
+    tile_chunk = max(1, min(nt_dev, int(8.0 / max(tile_s, 1e-4))))
+
+    seed_arr = jnp.asarray(np.asarray([seed, 0, 0], np.int32))
+    chunk_outs = []
+    for c0 in range(0, nt_dev, tile_chunk):
+        nt = min(tile_chunk, nt_dev - c0)
+        raw = _get_call(camera, w, h, spp_local, max_depth, dims, flags,
+                        med_types, img_dims, nt, False, interpret, jit=False,
+                        vma=(RAYS_AXIS, SAMPLE_AXIS) if n_sd > 1
+                        else (RAYS_AXIS,))
+
+        def shard_fn(*args, _raw=raw, _c0=c0):
+            dev, sd = args[:-1], args[-1]
+            ridx = jax.lax.axis_index(RAYS_AXIS)
+            soff = (jax.lax.axis_index(SAMPLE_AXIS) * spp_local
+                    if n_sd > 1 else jnp.int32(0))
+            scal = jnp.stack([sd[0],
+                              (ridx * nt_dev + _c0).astype(jnp.int32),
+                              soff.astype(jnp.int32)])
+            r, g, b, n = _raw(*dev, scal)
+            if n_sd > 1:
+                # each device's buffers hold the mean over its spp_local;
+                # the full-spp mean is the mean of means (equal splits)
+                r = jax.lax.psum(r, SAMPLE_AXIS) / n_sd
+                g = jax.lax.psum(g, SAMPLE_AXIS) / n_sd
+                b = jax.lax.psum(b, SAMPLE_AXIS) / n_sd
+                n = jax.lax.psum(n, SAMPLE_AXIS)
+            return r, g, b, n
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(),) * (len(dev_args) + 1),
+            out_specs=(P(RAYS_AXIS),) * 4))
+        chunk_outs.append(fn(*dev_args, seed_arr))
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def reassemble(chunks, n_rd, keep_rows):
+        """device-major chunk buffers -> global tile-major order."""
+        def one(k):
+            per_dev = [c[k].reshape(n_rd, -1, LANES) for c in chunks]
+            full = jnp.concatenate(per_dev, axis=1).reshape(-1, LANES)
+            return full[:keep_rows]
+
+        return one(0), one(1), one(2), one(3)
+
+    r, g, b, n = reassemble(chunk_outs, n_rd, n_tiles * ROWS)
+    img_dev, nrays_dev = _unswizzle_fn(w, h, nbx, nby)(r, g, b, n)
+    image = np.asarray(img_dev)
+    if with_stats:
+        return image, float(nrays_dev)
+    return image
+
+
 def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
                  sample_offset: int = 0, use_bvh: Optional[bool] = None,
                  interpret: bool = False) -> np.ndarray:
@@ -1285,9 +1432,10 @@ def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
     for t0 in range(0, n_tiles, tile_chunk):
         nt = min(tile_chunk, n_tiles - t0)
         fn = _get_call(camera, w, h, spp, max_depth, dims, flags, med_types,
-                       img_dims, sample_offset, nt, True, interpret)
+                       img_dims, nt, True, interpret)
         outs.append(fn(*dev_args,
-                       jnp.asarray(np.asarray([seed, t0], np.int32)))[0])
+                       jnp.asarray(np.asarray([seed, t0, sample_offset],
+                                              np.int32)))[0])
     rec = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     # unswizzle ON DEVICE (the tunnel makes host round-trips of ~100 MB

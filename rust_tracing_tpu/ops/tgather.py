@@ -12,6 +12,22 @@ formulation of the same reduction runs as a dense vectorized reduce
 ``tgather(col, idx)`` is exactly ``col[idx]`` in the forward pass with the
 segment-sum backward. Every float-table gather on the differentiable ray
 paths goes through it; integer-table gathers don't need it (no cotangents).
+
+Reverse-mode only: a ``custom_vjp`` rules out ``jax.jvp``/``jacfwd`` through
+tgather by JAX semantics. Forward-mode of a gather needs no help from this op
+(it is just a gather of the tangent table) — callers that want jvp should use
+plain ``col[idx]``; the hot render paths are all reverse-mode.
+
+shard_map compatibility: under ``jax.shard_map`` the table is replicated
+(``P()``) while ``idx`` is device-varying, so the cotangent produced by
+segment-sum varies over mesh axes that the primal ``col`` does not. For a
+plain gather, shard_map's transpose machinery inserts the matching ``psum``
+automatically (the transpose of the implicit pbroadcast); a custom_vjp hides
+that linearity, so the bwd rule must do it itself: it psums the cotangent
+over exactly the varying-axes difference (``jax.typeof(x).vma``), making the
+returned cotangent replicated like the primal. This IS the ICI gradient
+all-reduce of SURVEY.md §5.8 for the table parameters, inserted per-gather at
+transpose time. Outside shard_map the vma sets are empty and no psum is added.
 """
 
 from __future__ import annotations
@@ -19,6 +35,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _vma(x) -> frozenset:
+    """Varying-manual-axes of ``x`` under shard_map (empty outside)."""
+    try:
+        return frozenset(jax.typeof(x).vma)
+    except Exception:  # non-tracer / backends without vma tracking
+        return frozenset()
 
 
 @jax.custom_vjp
@@ -34,6 +58,11 @@ def _tgather_fwd(col, idx):
 def _tgather_bwd(res, ct):
     col, idx = res
     d_col = jax.ops.segment_sum(ct, idx, num_segments=col.shape[0])
+    # shard_map: reduce the cotangent onto the primal's replication (see
+    # module docstring). No-op outside shard_map.
+    extra = _vma(d_col) - _vma(col)
+    if extra:
+        d_col = jax.lax.psum(d_col, tuple(sorted(extra)))
     return (d_col.astype(col.dtype),
             np.zeros(idx.shape, dtype=jax.dtypes.float0))
 

@@ -75,11 +75,30 @@ def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None):
 def render_distributed(scene, camera: Camera, mesh=None, seed: int = 0,
                        spp: Optional[int] = None,
                        max_depth: Optional[int] = None, hit_fn=None,
-                       dtype=jnp.float32) -> np.ndarray:
-    """Full-image distributed render -> (H,W,3) linear float."""
+                       dtype=jnp.float32,
+                       use_megakernel: Optional[bool] = None) -> np.ndarray:
+    """Full-image distributed render -> (H,W,3) linear float.
+
+    On TPU the production path is the SPMD megakernel
+    (ops/megakernel.render_fast_sharded): every chip runs the fused Pallas
+    kernel on its own tile range at full single-chip throughput — the
+    distributed fast path. The sharded XLA wavefront remains the fallback
+    (custom hit_fn, non-f32, unsupported scenes, CPU meshes)."""
     mesh = mesh or mesh_mod.make_mesh()
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
+
+    if use_megakernel is None:
+        from ..renderer import use_megakernel_default
+
+        use_megakernel = (use_megakernel_default(scene, dtype, hit_fn)
+                          and spp % mesh.shape[SAMPLE_AXIS] == 0)
+    if use_megakernel:
+        from ..ops import megakernel as mk
+
+        return mk.render_fast_sharded(scene, camera, mesh, seed=seed,
+                                      spp=spp, max_depth=max_depth)
+
     if hit_fn is None:
         from ..ops.bvh_traverse import auto_closest_hit
 

@@ -93,6 +93,37 @@ def test_distributed_grads_match_psum_identity():
     assert moved > 0
 
 
+def test_sharded_megakernel_matches_single():
+    """The SPMD megakernel (per-device tile ranges + sample-axis psum) must
+    reproduce the single-device megakernel: RNG is (seed, pixel, sample)-
+    addressed so tiles and sample ranges shard without changing any sample.
+    Interpret mode on the CPU mesh — the same program shards over real chips."""
+    from rust_tracing_tpu.ops import megakernel as mk
+
+    b, settings = (__import__("rust_tracing_tpu.models.builders",
+                              fromlist=["cornell_box"]).cornell_box())
+    settings = dataclasses.replace(settings, image_width=64,
+                                   samples_per_pixel=4, max_depth=3)
+    scene = compile_scene(b, dtype=jnp.float32)
+    camera = Camera.create(settings)
+
+    img1, n1 = mk.render_fast(scene, camera, interpret=True, with_stats=True)
+
+    # rays-only mesh: same sample set per pixel -> bitwise equality
+    mesh_r = mesh_mod.make_mesh()
+    img_r, n_r = mk.render_fast_sharded(scene, camera, mesh_r, interpret=True,
+                                        with_stats=True)
+    np.testing.assert_array_equal(img1, img_r)
+    assert n1 == n_r
+
+    # sample-split mesh: psum of equal-spp means; float-associativity bound
+    mesh_s = mesh_mod.make_mesh(sample_parallelism=2)
+    img_s, n_s = mk.render_fast_sharded(scene, camera, mesh_s, interpret=True,
+                                        with_stats=True)
+    np.testing.assert_allclose(img_s, img1, rtol=3e-6, atol=3e-7)
+    assert n1 == n_s
+
+
 def test_distributed_train_reduces_loss():
     scene, camera = _scene()
     cam = camera.constants(jnp.float32)
