@@ -1,6 +1,6 @@
-"""Headline benchmark: forward rays/s/chip on the Cornell box
-(BASELINE.md workload: cornell 600x600, reference main.rs:406-418; spp scaled
-to 200 per BASELINE.json's north-star config).
+"""Headline benchmark: forward+backward rays/s/chip on the Cornell box —
+the BASELINE.json north-star metric ("rays/s/chip forward+backward, Cornell
+600x600 @ 200spp", reference workload main.rs:406-418 at the contract's spp).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -10,14 +10,18 @@ cargo isn't available here, so 20 Mrays/s (16-core rayon path tracing of this
 scene class) is used as the denominator and recorded in BASELINE.md.
 
 What runs:
-  1. forward (headline): the production render path — the fused Pallas
-     megakernel on TPU (ops/megakernel.py), XLA wavefront elsewhere — timed on
-     a full 600x600 @ 200spp frame with exact on-device ray counting.
-  2. parity gate: megakernel vs XLA wavefront mean-image ratio on hardware
-     (skipped off-TPU); reported in aux as "parity_ratio" (target |1-r| < 1%).
-  3. forward+backward: a TRUE full-frame 600x600 value_and_grad of the mean
-     radiance w.r.t. all scene parameters (no extrapolation) with exact ray
-     counting, reported in aux.
+  1. forward+backward (HEADLINE): a TRUE full-frame 600x600 @ 200spp
+     value_and_grad of the mean radiance w.r.t. all float scene parameters —
+     the record/replay pipeline (Pallas recorder + O(rays) replay with the
+     vectorized small-table transpose, chunked two-pass accumulation for the
+     2.3 GB record volume) — with exact on-device ray counting. Reported
+     rays/s uses the forward scene-query count (the backward replays the
+     same paths), measured over the full loss_and_grad call INCLUDING
+     recording.
+  2. forward (aux): the production render path — the fused Pallas megakernel
+     on TPU, XLA wavefront elsewhere — same frame, exact ray counting.
+  3. parity gate (aux): megakernel vs XLA wavefront mean-image ratio on
+     hardware (skipped off-TPU); target |1-r| < 1%.
 """
 
 import dataclasses
@@ -33,7 +37,6 @@ REFERENCE_CPU_RAYS_PER_SEC = 20e6  # documented estimate, see BASELINE.md
 WIDTH = 600
 SPP = 200
 MAX_DEPTH = 8
-GRAD_SPP = 8  # full-frame backward spp (rate metric; rays counted exactly)
 PARITY_WIDTH = 200
 PARITY_SPP = 512
 
@@ -51,7 +54,7 @@ def main():
     camera = Camera.create(settings)
     on_tpu = jax.default_backend() == "tpu"
 
-    # ---- forward (headline): production path, full cornell 600x600 @ SPP
+    # ---- forward (aux): production path, full cornell 600x600 @ SPP
     img, stats = renderer.render(scene, camera)  # includes compile
     img, stats = renderer.render(scene, camera, seed=1)  # timed run
     fwd_rays_per_sec = stats.rays_per_sec
@@ -67,12 +70,12 @@ def main():
         img_xla, _ = renderer.render(scene, pcam, seed=7, use_megakernel=False)
         parity_ratio = float(np.mean(img_mk) / np.mean(img_xla))
 
-    # ---- forward+backward: TRUE full-frame value_and_grad, exact ray count
+    # ---- forward+backward (HEADLINE): full contract workload value_and_grad
     loss_fn = lambda im, pid: jnp.mean(im)
 
     def run_grad(seed):
         loss, g, nrays = grad_mod.loss_and_grad(
-            scene, camera, loss_fn, seed=seed, spp=GRAD_SPP,
+            scene, camera, loss_fn, seed=seed, spp=SPP,
             max_depth=MAX_DEPTH, with_rays=True)
         jax.block_until_ready(g.sph_center)
         return nrays
@@ -84,17 +87,19 @@ def main():
     fwdbwd_rays_per_sec = grad_rays / (time.perf_counter() - t0)
 
     result = {
-        "metric": "cornell600_forward_rays_per_sec_per_chip",
-        "value": round(fwd_rays_per_sec),
+        "metric": "cornell600_200spp_fwdbwd_rays_per_sec_per_chip",
+        "value": round(fwdbwd_rays_per_sec),
         "unit": "rays/s",
-        "vs_baseline": round(fwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),
+        "vs_baseline": round(fwdbwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC,
+                             4),
         "aux": {
+            "fwdbwd_workload": f"{WIDTH}x{settings.image_height}@{SPP}spp "
+                               f"d{MAX_DEPTH} full frame, all scene params",
+            "forward_rays_per_sec": round(fwd_rays_per_sec),
+            "forward_vs_baseline": round(
+                fwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),
             "forward_seconds": round(stats.seconds, 3),
             "forward_path": "megakernel" if on_tpu else "xla_wavefront",
-            "fwdbwd_rays_per_sec": round(fwdbwd_rays_per_sec),
-            "fwdbwd_vs_baseline": round(
-                fwdbwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),
-            "fwdbwd_full_frame": f"{WIDTH}x{settings.image_height}@{GRAD_SPP}spp",
             "parity_ratio_megakernel_vs_xla": parity_ratio,
             "avg_bounces": round(avg_bounces, 3),
             "device": str(jax.devices()[0]),

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-every", type=int, default=8,
                    help="samples between preview PNG writes in --live mode")
     p.add_argument("--dtype", choices=("float32", "float64"), default="float32")
+    p.add_argument("--metrics", type=str, nargs="?", const="1", default=None,
+                   metavar="FILE",
+                   help="emit one JSON metrics line per render/step "
+                        "(SURVEY.md §5.5): to stderr, or appended to FILE")
     return p
 
 
@@ -78,6 +82,11 @@ def main(argv=None) -> int:
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype is jnp.float64:
         jax.config.update("jax_enable_x64", True)
+
+    if args.metrics:
+        from .utils import metrics as metrics_mod
+
+        metrics_mod.enable(None if args.metrics == "1" else args.metrics)
 
     if args.multihost:
         # Multi-host rendezvous (SURVEY.md §5.8): fail-fast — a missing or

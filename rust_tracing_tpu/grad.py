@@ -117,11 +117,17 @@ REPLAY_RAY_BUDGET = 1 << 22
                    static_argnames=("spp", "max_depth", "sample_chunk"))
 def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
                               records, spp: int, max_depth: int,
-                              sample_chunk: Optional[int] = None):
+                              sample_chunk: Optional[int] = None,
+                              sample_base=0):
     """Search-free differentiable radiance mean from recorded hit winners
     (ops/replay.py). ``records``: (spp, max_depth, C) int32 aligned with
     ``pixel_ids``. O(rays) forward AND backward — no (rays x prims) search
     appears anywhere in the autodiff graph.
+
+    ``sample_base`` offsets the GLOBAL sample indices (RNG addressing +
+    camera jitter) while records stay chunk-local — the gradient-accumulation
+    driver (_chunked_recorder_vag) records/replays the spp axis in bounded
+    slices of a larger workload.
 
     Samples are FLATTENED into the ray batch (``sample_chunk`` samples per
     wavefront, default as many as fit REPLAY_RAY_BUDGET): one bounce step
@@ -141,7 +147,8 @@ def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
     def chunk_rad(scene_, s0, k: int):
         """Radiance sum + ray count over samples [s0, s0+k) in one wavefront."""
         pix = jnp.tile(pixel_ids, k)
-        samp = s0 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), C)
+        samp = (jnp.asarray(sample_base, jnp.int32) + s0
+                + jnp.repeat(jnp.arange(k, dtype=jnp.int32), C))
         o, d, t = get_rays(cam, seed, pix, samp)
         recs = jax.lax.dynamic_slice_in_dim(records, s0, k, axis=0)
         recs = jnp.moveaxis(recs, 1, 0).reshape(max_depth, k * C)
@@ -155,8 +162,10 @@ def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
 
 
 def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
-                pixel_ids=None, hit_fn=None, dtype=jnp.float32):
-    """Per-(sample, bounce) hit-winner records for the replay pipeline.
+                pixel_ids=None, hit_fn=None, dtype=jnp.float32,
+                sample_offset: int = 0):
+    """Per-(sample, bounce) hit-winner records for the replay pipeline,
+    covering global samples ``sample_offset .. sample_offset + spp``.
 
     On TPU this is the Pallas recorder (megakernel.record_paths) over the
     full image (subset by ``pixel_ids`` afterwards); elsewhere the XLA search
@@ -168,7 +177,8 @@ def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
 
     n_pix = camera.image_width * camera.image_height
     if jax.default_backend() == "tpu" and mk.supports(scene):
-        recs = mk.record_paths(scene, camera, seed, spp, max_depth)
+        recs = mk.record_paths(scene, camera, seed, spp, max_depth,
+                               sample_offset=sample_offset)
         if pixel_ids is not None:
             recs = jnp.take(recs, jnp.asarray(pixel_ids), axis=2)
         return recs
@@ -177,7 +187,8 @@ def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
         pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
     return jax.lax.stop_gradient(
         replay_mod.records_xla(scene, cam, pixel_ids, jnp.uint32(seed), spp,
-                               max_depth, hit_fn))
+                               max_depth, hit_fn,
+                               sample_offset=sample_offset))
 
 
 def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
@@ -218,15 +229,26 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
 
     if use_recorder is None:
         use_recorder = jax.default_backend() == "tpu"
-    records = None
-    if use_recorder:
-        records = get_records(scene, camera, seed, spp, max_depth,
-                              pixel_ids=pixel_ids, hit_fn=hit_fn, dtype=dtype)
 
-    loss, nrays, dg = _vag(tuple(diff), tuple(frozen), treedef,
-                           tuple(is_diff), cam, pixel_ids, seed_arr, records,
-                           spp=spp, max_depth=max_depth, hit_fn=hit_fn,
-                           remat=remat, loss_fn=loss_fn)
+    C = pixel_ids.shape[0]
+    if use_recorder and spp * max_depth * C > RECORD_BUDGET_ENTRIES:
+        # Big workloads (the contract's 600x600@200spp is 0.6G record
+        # entries = 2.3 GB; alongside replay residuals that OOMs a v5e):
+        # two-pass gradient accumulation over bounded sample slices.
+        loss, nrays, dg = _chunked_recorder_vag(
+            scene, camera, loss_fn, seed, spp, max_depth, pixel_ids, hit_fn,
+            dtype, cam, seed_arr, tuple(diff), tuple(frozen), treedef,
+            tuple(is_diff))
+    else:
+        records = None
+        if use_recorder:
+            records = get_records(scene, camera, seed, spp, max_depth,
+                                  pixel_ids=pixel_ids, hit_fn=hit_fn,
+                                  dtype=dtype)
+        loss, nrays, dg = _vag(tuple(diff), tuple(frozen), treedef,
+                               tuple(is_diff), cam, pixel_ids, seed_arr,
+                               records, spp=spp, max_depth=max_depth,
+                               hit_fn=hit_fn, remat=remat, loss_fn=loss_fn)
     it_g = iter(dg)
     grad_leaves = [next(it_g) if d else jnp.zeros_like(l)
                    for l, d in zip(leaves, is_diff)]
@@ -234,6 +256,96 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     if with_rays:
         return loss, grad, float(nrays)
     return loss, grad
+
+
+# Bound on record entries (int32) held on device at once; past it the
+# gradient runs as two-pass accumulation over sample slices.
+RECORD_BUDGET_ENTRIES = 1 << 26  # 256 MB of records per slice
+
+
+def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
+                          pixel_ids, hit_fn, dtype, cam, seed_arr, diff,
+                          frozen, treedef, is_diff):
+    """Two-pass gradient accumulation for record/replay workloads whose
+    records don't fit on device at once:
+
+      1. forward: the production megakernel renders the full-spp mean image
+         (the SAME estimator — both paths consume identical counter-RNG
+         streams; tests prove kernel==XLA bitwise), and the loss cotangent
+         d loss/d image is computed once at that image.
+      2. backward: for each bounded sample slice, record (Pallas recorder at
+         ``sample_offset``) and accumulate the slice's VJP with cotangent
+         (k/spp) * d loss/d image. Radiance is linear in per-slice means, so
+         the accumulated VJPs are exactly the full-workload gradient (up to
+         float-sum association of the slice partition).
+
+    Returns (loss, rays, grads-over-diff-leaves) like _vag.
+    """
+    C = pixel_ids.shape[0]
+    spp_chunk = max(1, min(spp, RECORD_BUDGET_ENTRIES // (max_depth * C)))
+
+    # ---- pass 1: full-spp forward mean + loss cotangent
+    from .ops import megakernel as mk
+
+    if jax.default_backend() == "tpu" and mk.supports(scene):
+        img_full = mk.render_fast(scene, camera, seed=seed, spp=spp,
+                                  max_depth=max_depth)
+        img_flat = jnp.asarray(img_full.reshape(-1, 3),
+                               cam.center.dtype)[pixel_ids]
+    else:  # oracle fallback: chunked replay forward (same estimator)
+        acc = jnp.zeros((C, 3), cam.center.dtype)
+        for c0 in range(0, spp, spp_chunk):
+            k = min(spp_chunk, spp - c0)
+            recs = get_records(scene, camera, seed, k, max_depth,
+                               pixel_ids=pixel_ids, hit_fn=hit_fn,
+                               dtype=dtype, sample_offset=c0)
+            m, _ = radiance_mean_replay_rays(scene, cam, pixel_ids, seed_arr,
+                                             recs, k, max_depth,
+                                             sample_base=jnp.int32(c0))
+            acc = acc + m * (k / spp)
+        img_flat = acc
+    loss, vjp_loss = jax.vjp(lambda im: loss_fn(im, pixel_ids), img_flat)
+    (g_img,) = vjp_loss(jnp.ones_like(loss))
+
+    # ---- pass 2: accumulate per-slice VJPs
+    grads = None
+    nrays = 0.0
+    for c0 in range(0, spp, spp_chunk):
+        k = min(spp_chunk, spp - c0)
+        recs = get_records(scene, camera, seed, k, max_depth,
+                           pixel_ids=pixel_ids, hit_fn=hit_fn, dtype=dtype,
+                           sample_offset=c0)
+        ct = (g_img * (k / spp)).astype(cam.center.dtype)
+        nr, dg = _chunk_vjp(diff, frozen, treedef, is_diff, cam, pixel_ids,
+                            seed_arr, recs, ct, jnp.int32(c0), spp=k,
+                            max_depth=max_depth)
+        nrays += float(nr)
+        grads = dg if grads is None else [a + b for a, b in zip(grads, dg)]
+    return loss, nrays, grads
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("treedef", "is_diff", "spp", "max_depth"))
+def _chunk_vjp(diff, frozen, treedef, is_diff, cam, pixel_ids, seed_arr,
+               records, ct, sample_base, spp, max_depth):
+    """VJP of one sample-slice's replay mean with an external cotangent."""
+
+    def rebuild(diff_leaves):
+        it_d, it_f = iter(diff_leaves), iter(frozen)
+        merged = [next(it_d) if d else next(it_f) for d in is_diff]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    def f(diff_leaves):
+        img, nr = radiance_mean_replay_rays(rebuild(diff_leaves), cam,
+                                            pixel_ids, seed_arr, records,
+                                            spp, max_depth,
+                                            sample_base=sample_base)
+        return img, nr
+
+    img, vjp_fn, nr = jax.vjp(f, diff, has_aux=True)
+    (dg,) = vjp_fn(ct)
+    return nr, dg
 
 
 @functools.partial(
@@ -287,20 +399,29 @@ def fit_scene(scene, camera: Camera, target_image: np.ndarray, steps: int,
     (deterministic objective — useful for exact-recovery tests).
     Returns (scene, losses).
     """
+    import time as _time
+
+    from .utils import metrics
+
     target = jnp.asarray(target_image.reshape(-1, 3), scene.background.dtype)
     loss_fn = l2_to_target(target)
     losses = []
     for step in range(steps):
-        loss, g = loss_and_grad(scene, camera, loss_fn,
-                                seed=seed + step if resample else seed,
-                                spp=spp, max_depth=max_depth,
-                                dtype=scene.background.dtype)
+        t0 = _time.perf_counter()
+        loss, g, nrays = loss_and_grad(scene, camera, loss_fn,
+                                       seed=seed + step if resample else seed,
+                                       spp=spp, max_depth=max_depth,
+                                       dtype=scene.background.dtype,
+                                       with_rays=True)
         updates = {}
         for name, lr in learning_rates.items():
             updates[name] = getattr(scene, name) - lr * getattr(g, name)
         scene = scene.replace(**updates) if hasattr(scene, "replace") else \
             _replace_dataclass(scene, updates)
         losses.append(float(loss))
+        dt = _time.perf_counter() - t0
+        metrics.emit("train_step", step=step, loss=float(loss), seconds=dt,
+                     rays=nrays, rays_per_sec=nrays / dt if dt > 0 else 0.0)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss {loss:.6f}")
     return scene, losses

@@ -430,12 +430,14 @@ def trace_replay(scene, origin, direction, time, rng_idx, records,
 
 
 def records_xla(scene, cam, pixel_ids, seed, spp: int, max_depth: int,
-                hit_fn=None):
+                hit_fn=None, sample_offset: int = 0):
     """(spp, max_depth, R) records via the XLA search — the CPU fallback and
-    the oracle the kernel recorder is tested against."""
+    the oracle the kernel recorder is tested against. Covers global samples
+    ``sample_offset .. sample_offset + spp``."""
     from ..camera import get_rays
 
     def per_sample(s):
+        s = s + sample_offset
         o, d, t = get_rays(cam, seed, pixel_ids, s)
 
         def step(carry, depth_i):

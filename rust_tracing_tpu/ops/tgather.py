@@ -55,9 +55,30 @@ def _tgather_fwd(col, idx):
     return col[idx], (col, idx)
 
 
+# Largest table for which the backward uses the dense masked reduction.
+# XLA lowers a scatter-add into a small (SMEM-resident) table to a SERIAL
+# scalar-core loop — profiled on v5e at ~9 ns/update: three such scatters
+# (the tex_rgb columns) were 25 ms EACH per bounce inside the transposed
+# scan, ~90% of the whole cornell backward. The masked reduce is one
+# vectorized pass with N accumulators (N compare+select+adds per element on
+# the VPU) and is the entire fwd+bwd speedup of round 3. Past the threshold
+# the (N, R) mask stops fitting registers/VMEM and segment-sum (scatter)
+# wins again — big-table gathers (image texels, final_scene prim tables)
+# keep the scatter path.
+TGATHER_DENSE_MAX = 64
+
+
 def _tgather_bwd(res, ct):
     col, idx = res
-    d_col = jax.ops.segment_sum(ct, idx, num_segments=col.shape[0])
+    n = col.shape[0]
+    if n <= TGATHER_DENSE_MAX:
+        idx_f = idx.ravel()
+        ct_f = ct.ravel()
+        seg = jnp.arange(n, dtype=idx_f.dtype)
+        mask = idx_f[None, :] == seg[:, None]                  # (N, R)
+        d_col = jnp.sum(jnp.where(mask, ct_f[None, :], 0.0), axis=1)
+    else:
+        d_col = jax.ops.segment_sum(ct, idx, num_segments=n)
     # shard_map: reduce the cotangent onto the primal's replication (see
     # module docstring). No-op outside shard_map.
     extra = _vma(d_col) - _vma(col)

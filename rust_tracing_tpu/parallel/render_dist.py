@@ -23,9 +23,10 @@ from .mesh import RAYS_AXIS, SAMPLE_AXIS
 
 
 def _local_radiance_sum(scene, cam, pixel_ids, seed, sample_base, spp_local,
-                        max_depth, hit_fn=None):
+                        max_depth, hit_fn=None, with_rays=False):
     """Sum of radiance samples ``sample_base .. sample_base+spp_local`` for
-    this chip's pixel shard.
+    this chip's pixel shard (plus the exact traced-ray count with
+    ``with_rays`` — scene queries, same counter as the single-chip paths).
 
     Samples are addressed globally by (seed, pixel, sample) — the chip's mesh
     coordinates never enter the RNG, so the sharded render equals the
@@ -33,19 +34,31 @@ def _local_radiance_sum(scene, cam, pixel_ids, seed, sample_base, spp_local,
     stays on one chip; to float-sum associativity when spp is split)."""
     def sample(s):
         o, d, t = get_rays(cam, seed, pixel_ids, s)
-        rad, _ = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
-                                  max_depth, closest_hit_fn=hit_fn, remat=True)
-        return rad
+        rad, nb = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
+                                   max_depth, closest_hit_fn=hit_fn,
+                                   remat=True)
+        return rad, jnp.sum(nb).astype(jnp.float32)
 
     # first sample seeds the accumulator so its device-varying type under
     # shard_map matches the loop body's output
-    acc0 = sample(sample_base)
-    return jax.lax.fori_loop(1, spp_local,
-                             lambda s, a: a + sample(sample_base + s), acc0)
+    acc0, n0 = sample(sample_base)
+
+    def body(s, carry):
+        a, n = carry
+        rad, nb = sample(sample_base + s)
+        return a + rad, n + nb
+
+    acc, nrays = jax.lax.fori_loop(1, spp_local, body, (acc0, n0))
+    if with_rays:
+        return acc, nrays
+    return acc
 
 
-def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None):
-    """Build a jitted SPMD render fn: (scene, cam, pixel_ids, key) -> (P,3).
+def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None,
+                              with_rays: bool = False):
+    """Build a jitted SPMD render fn: (scene, cam, pixel_ids, key) -> (P,3)
+    (or ((P,3), rays_traced) with ``with_rays`` — the exact scene-query count
+    psum'd over the whole mesh, for honest rays/s in scaling benchmarks).
 
     ``pixel_ids`` must be padded to tile the rays axis (mesh_mod.pad_pixels).
     spp is split across the sample axis; partial sums psum'd back so every
@@ -58,16 +71,21 @@ def make_distributed_renderer(mesh, spp: int, max_depth: int, hit_fn=None):
 
     def shard_fn(scene, cam, pixel_ids, seed):
         smp_idx = jax.lax.axis_index(SAMPLE_AXIS)
-        acc = _local_radiance_sum(scene, cam, pixel_ids, seed,
+        out = _local_radiance_sum(scene, cam, pixel_ids, seed,
                                   smp_idx * spp_local, spp_local,
-                                  max_depth, hit_fn)
-        acc = jax.lax.psum(acc, SAMPLE_AXIS)
+                                  max_depth, hit_fn, with_rays=with_rays)
+        if with_rays:
+            acc, nrays = out
+            acc = jax.lax.psum(acc, SAMPLE_AXIS)
+            nrays = jax.lax.psum(nrays, (RAYS_AXIS, SAMPLE_AXIS))
+            return acc / spp, nrays
+        acc = jax.lax.psum(out, SAMPLE_AXIS)
         return acc / spp
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(RAYS_AXIS), P()),
-        out_specs=P(RAYS_AXIS),
+        out_specs=(P(RAYS_AXIS), P()) if with_rays else P(RAYS_AXIS),
     )
     return jax.jit(fn)
 
@@ -94,10 +112,21 @@ def render_distributed(scene, camera: Camera, mesh=None, seed: int = 0,
         use_megakernel = (use_megakernel_default(scene, dtype, hit_fn)
                           and spp % mesh.shape[SAMPLE_AXIS] == 0)
     if use_megakernel:
-        from ..ops import megakernel as mk
+        import time as _time
 
-        return mk.render_fast_sharded(scene, camera, mesh, seed=seed,
-                                      spp=spp, max_depth=max_depth)
+        from ..ops import megakernel as mk
+        from ..utils import metrics
+
+        t0 = _time.perf_counter()
+        img, nrays = mk.render_fast_sharded(scene, camera, mesh, seed=seed,
+                                            spp=spp, max_depth=max_depth,
+                                            with_stats=True)
+        dt = _time.perf_counter() - t0
+        metrics.emit("render_distributed", path="megakernel_sharded",
+                     mesh=dict(mesh.shape), spp=spp, seconds=dt,
+                     rays=int(nrays),
+                     rays_per_sec=nrays / dt if dt > 0 else 0.0)
+        return img
 
     if hit_fn is None:
         from ..ops.bvh_traverse import auto_closest_hit

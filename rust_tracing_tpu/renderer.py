@@ -20,6 +20,7 @@ import numpy as np
 
 from .camera import Camera, CameraConstants, get_rays
 from .ops import integrator
+from .utils import metrics
 
 
 def _auto_chunk(scene, target_bytes: int = 192 * 1024 * 1024) -> int:
@@ -99,7 +100,10 @@ def measure_occupancy(scene, camera: Camera, n_pixels: int = 8192,
     ids = jnp.arange(0, n * stride, stride, dtype=jnp.int32) % total
     occ = _occupancy_chunk(scene, camera.constants(jnp.float32), ids,
                            jnp.uint32(seed), spp, max_depth, hit_fn)
-    return np.asarray(occ, np.float64) / (n * spp)
+    frac = np.asarray(occ, np.float64) / (n * spp)
+    metrics.emit("occupancy", per_bounce=[round(float(x), 4) for x in frac],
+                 mean=float(frac.mean()))
+    return frac
 
 
 @dataclasses.dataclass
@@ -153,6 +157,10 @@ def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
                                               sample_offset=sample_offset,
                                               with_stats=True)
         stats = RenderStats(seconds=_time.perf_counter() - t0, rays=int(nrays))
+        metrics.emit("render", path="megakernel", spp=spp,
+                     width=camera.image_width, height=camera.image_height,
+                     seconds=stats.seconds, rays=stats.rays,
+                     rays_per_sec=stats.rays_per_sec)
         if progress is not None:
             n = camera.image_width * camera.image_height
             progress(n, n)
@@ -185,6 +193,9 @@ def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
             progress(start + n_valid, n_pixels)
 
     stats.seconds = _time.perf_counter() - t0
+    metrics.emit("render", path="xla_wavefront", spp=spp, width=w, height=h,
+                 seconds=stats.seconds, rays=stats.rays,
+                 rays_per_sec=stats.rays_per_sec)
     image = (out / spp).reshape(h, w, 3)
     return image, stats
 

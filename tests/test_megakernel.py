@@ -1,5 +1,19 @@
-"""Fused Pallas megakernel vs the XLA wavefront path (interpret mode on CPU;
-statistical agreement — the RNG streams differ by design)."""
+"""Fused Pallas megakernel vs the XLA wavefront path (interpret mode on CPU).
+
+Both paths consume the SAME counter-RNG streams addressed by (seed, pixel,
+sample, bounce, site), so for scenes whose every texture family evaluates
+identically in-kernel (solid/checker; all materials; media) the kernel image
+is BITWISE EQUAL to the XLA image — asserted exactly. The two deliberate
+in-kernel approximations get quantified gates instead:
+
+- image texture: <=32768-texel mip + polynomial acos/atan2 UVs vs the XLA
+  path's full-resolution nearest sample (megakernel.IMG_MAX_TEXELS) — earth
+  gate below bounds the image-space error;
+- noise texture: hash-lattice gradients are a fresh random instance of the
+  reference's [-1,1]^3 unnormalized-gradient family (perlin.rs:16-25), not
+  the XLA path's table instance — the perlin gate bounds the statistics
+  (mean ratio), not pointwise values.
+"""
 
 import dataclasses
 
@@ -44,21 +58,75 @@ def test_emitter_exact():
     np.testing.assert_allclose(img[0, 0], 0, atol=1e-7)
 
 
-def test_cornell_statistics_match_xla():
+def test_cornell_bitwise_matches_xla():
+    """Shared RNG streams + identical per-op arithmetic: the kernel IS the
+    XLA path for solid-texture scenes — exact equality, not statistics."""
     b, settings = builders.cornell_box()
     settings = dataclasses.replace(settings, image_width=32,
                                    samples_per_pixel=64, max_depth=4)
     scene = compile_scene(b)
     cam = Camera.create(settings)
-    img_m = megakernel.render_fast(scene, cam, interpret=True)
-    img_x, _ = render(scene, cam)
-    assert img_m.shape == img_x.shape
-    assert abs(img_m.mean() / img_x.mean() - 1.0) < 0.05
-    # spatial structure agrees (correlation over pixels)
-    a = img_m.reshape(-1, 3).mean(-1)
-    c = img_x.reshape(-1, 3).mean(-1)
-    corr = np.corrcoef(a, c)[0, 1]
-    assert corr > 0.98
+    img_m = np.asarray(megakernel.render_fast(scene, cam, interpret=True),
+                       np.float64)
+    img_x = np.asarray(render(scene, cam, use_megakernel=False)[0],
+                       np.float64)
+    np.testing.assert_array_equal(img_m, img_x)
+
+
+def test_cornell_smoke_bitwise_matches_xla():
+    """Constant media (entry/exit + exponential flight) also share streams
+    and arithmetic exactly."""
+    b, settings = builders.cornell_smoke()
+    settings = dataclasses.replace(settings, image_width=32,
+                                   samples_per_pixel=32, max_depth=4)
+    scene = compile_scene(b)
+    cam = Camera.create(settings)
+    img_m = np.asarray(megakernel.render_fast(scene, cam, interpret=True),
+                       np.float64)
+    img_x = np.asarray(render(scene, cam, use_megakernel=False)[0],
+                       np.float64)
+    np.testing.assert_array_equal(img_m, img_x)
+
+
+def test_earth_mip_error_bounded():
+    """The in-kernel image texture (mip + polynomial acos/atan2) vs the XLA
+    full-resolution sampler: image-space error gate. Measured on this
+    workload: MAD 0.0028, max 0.082, mean ratio 1.0005 — the gate asserts
+    3x headroom so real regressions (wrong mip level, UV polynomial breakage)
+    fail while the documented approximation passes."""
+    b, settings = builders.earth()
+    settings = dataclasses.replace(settings, image_width=32,
+                                   samples_per_pixel=32, max_depth=4)
+    scene = compile_scene(b)
+    cam = Camera.create(settings)
+    img_m = np.asarray(megakernel.render_fast(scene, cam, interpret=True),
+                       np.float64)
+    img_x = np.asarray(render(scene, cam, use_megakernel=False)[0],
+                       np.float64)
+    d = np.abs(img_m - img_x)
+    assert d.mean() < 0.01, f"earth mip MAD {d.mean():.4f}"
+    assert d.max() < 0.25, f"earth mip max err {d.max():.4f}"
+    assert abs(img_m.mean() / img_x.mean() - 1.0) < 0.01
+
+
+def test_perlin_statistics_bounded():
+    """Hash-lattice noise is a DIFFERENT random instance of the same
+    distribution (documented): pointwise equality is undefined, but the
+    marble statistics must match. Measured: mean ratio 0.975, MAD 0.117."""
+    b, settings = builders.two_perlin_spheres()
+    settings = dataclasses.replace(settings, image_width=32,
+                                   samples_per_pixel=32, max_depth=4)
+    scene = compile_scene(b)
+    cam = Camera.create(settings)
+    img_m = np.asarray(megakernel.render_fast(scene, cam, interpret=True),
+                       np.float64)
+    img_x = np.asarray(render(scene, cam, use_megakernel=False)[0],
+                       np.float64)
+    assert abs(img_m.mean() / img_x.mean() - 1.0) < 0.08
+    # pointwise correlation is undefined across noise instances (turbulence
+    # phases differ), but the marble CONTRAST must match: bound the ratio of
+    # per-pixel standard deviations (band structure amplitude).
+    assert abs(img_m.std() / img_x.std() - 1.0) < 0.3
 
 
 def test_media_and_materials_smoke():

@@ -57,6 +57,26 @@ def test_replay_gradients_equal_direct():
                                       np.asarray(getattr(g2, f)))
 
 
+def test_chunked_grad_accumulation_matches_single_shot(monkeypatch):
+    """The two-pass gradient accumulator (record budget exceeded -> per-slice
+    VJPs with the loss cotangent) must equal the single-shot gradient up to
+    float-sum association of the slice partition."""
+    scene, camera = _cornell(spp=8)
+    loss_fn = lambda im, p: jnp.mean((im - 0.25) ** 2)
+    l1, g1 = gm.loss_and_grad(scene, camera, loss_fn, seed=3, spp=8,
+                              max_depth=4, use_recorder=True)
+    # force slicing: budget below one sample's records
+    monkeypatch.setattr(gm, "RECORD_BUDGET_ENTRIES",
+                        3 * 4 * camera.image_width * camera.image_height)
+    l2, g2 = gm.loss_and_grad(scene, camera, loss_fn, seed=3, spp=8,
+                              max_depth=4, use_recorder=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for f in ("tex_rgb", "mat_albedo", "sph_center", "quad_u"):
+        np.testing.assert_allclose(np.asarray(getattr(g1, f)),
+                                   np.asarray(getattr(g2, f)),
+                                   rtol=2e-5, atol=1e-7)
+
+
 def test_kernel_recorder_matches_xla_records():
     scene, camera = _cornell(width=16, spp=3, depth=3)
     cam = camera.constants(jnp.float32)
