@@ -68,8 +68,14 @@ def main():
         camera = Camera.create(settings)
         w, h = camera.image_width, camera.image_height
         print(f"[{idx}] {name} {w}x{h}@{spp}spp d{depth} ...", flush=True)
-        # warm the compile cache off the clock, on a tiny spp slice
-        render(scene, camera, spp=min(4, spp), max_depth=depth)
+        # Warm the compile cache off the clock — the kernel's static config
+        # includes spp, so only a same-config run warms it exactly. For the
+        # hours-scale final_scene workload we skip the duplicate run: its
+        # dispatch is chunked over many pallas_calls, so the one compile
+        # amortizes inside the measurement (noted per row).
+        warmed = idx != 8
+        if warmed:
+            render(scene, camera, seed=0, spp=spp, max_depth=depth)
         t0 = time.perf_counter()
         img, stats = render(scene, camera, seed=0, spp=spp, max_depth=depth)
         dt = time.perf_counter() - t0
@@ -77,7 +83,7 @@ def main():
         row = {"scene": idx, "name": name,
                "workload": f"{w}x{h}@{spp}spp d{depth}",
                "seconds": round(dt, 2), "traced_mrays_per_sec": round(mrays, 1),
-               "rays": int(stats.rays)}
+               "rays": int(stats.rays), "compile_excluded": warmed}
         results["rows"].append(row)
         print(f"    {dt:.2f}s  {mrays:.1f} Mrays/s", flush=True)
         write_png(os.path.join(art, f"{name}_tpu.png"), img)
