@@ -108,6 +108,15 @@ class CompiledScene:
                                             default=True)
     has_lights: bool = dataclasses.field(metadata=dict(static=True),
                                          default=True)
+    # static primitive-family flags: tables are padded to >=8 rows even when
+    # a family is absent, so shape alone can't prune — these let the replay
+    # hit reconstruction (ops/replay.py) drop a whole family's winner-t/
+    # normal/UV subgraph (cornell has no spheres: the quadratic + UV chain
+    # and its transpose are pure waste there).
+    has_spheres: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=True)
+    has_quads: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=True)
 
     @property
     def num_spheres(self) -> int:
@@ -270,4 +279,6 @@ def compile_scene(
         has_dielectric=scene_mod.DIELECTRIC in b.mat_type,
         has_isotropic=scene_mod.ISOTROPIC in b.mat_type,
         has_lights=scene_mod.DIFFUSE_LIGHT in b.mat_type,
+        has_spheres=b.num_spheres > 0,
+        has_quads=b.num_quads > 0,
     )

@@ -193,48 +193,60 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
     i_quad = jnp.where(is_quad, idx, 0)
 
     a = dx * dx + dy * dy + dz * dz
+    zero = jnp.zeros_like(ox)
 
-    # --- sphere winner t (near root if valid else far; sphere.rs:59-89)
-    cwx = (tgather(scene.sph_center[:, 0], i_sph)
-           + tgather(scene.sph_cvec[:, 0], i_sph) * time)
-    cwy = (tgather(scene.sph_center[:, 1], i_sph)
-           + tgather(scene.sph_cvec[:, 1], i_sph) * time)
-    cwz = (tgather(scene.sph_center[:, 2], i_sph)
-           + tgather(scene.sph_cvec[:, 2], i_sph) * time)
-    ocx, ocy, ocz = ox - cwx, oy - cwy, oz - cwz
-    hb = ocx * dx + ocy * dy + ocz * dz
-    cq = (ocx * ocx + ocy * ocy + ocz * ocz
-          - tgather(scene.sph_radius, i_sph) ** 2)
-    disc = hb * hb - a * cq
-    sq = intersect._safe_sqrt(disc, is_sph & (disc > 0))
-    r1 = intersect._safe_div(-hb - sq, a)
-    r2 = intersect._safe_div(-hb + sq, a)
-    t_s = jnp.where(r1 > T_MIN, r1, r2)
+    # --- sphere winner t (near root if valid else far; sphere.rs:59-89);
+    # statically pruned when the scene has no spheres (cornell: the whole
+    # quadratic + normal + UV subgraph AND its transpose disappear)
+    if scene.has_spheres:
+        cwx = (tgather(scene.sph_center[:, 0], i_sph)
+               + tgather(scene.sph_cvec[:, 0], i_sph) * time)
+        cwy = (tgather(scene.sph_center[:, 1], i_sph)
+               + tgather(scene.sph_cvec[:, 1], i_sph) * time)
+        cwz = (tgather(scene.sph_center[:, 2], i_sph)
+               + tgather(scene.sph_cvec[:, 2], i_sph) * time)
+        ocx, ocy, ocz = ox - cwx, oy - cwy, oz - cwz
+        hb = ocx * dx + ocy * dy + ocz * dz
+        cq = (ocx * ocx + ocy * ocy + ocz * ocz
+              - tgather(scene.sph_radius, i_sph) ** 2)
+        disc = hb * hb - a * cq
+        sq = intersect._safe_sqrt(disc, is_sph & (disc > 0))
+        r1 = intersect._safe_div(-hb - sq, a)
+        r2 = intersect._safe_div(-hb + sq, a)
+        t_s = jnp.where(r1 > T_MIN, r1, r2)
+    else:
+        cwx = cwy = cwz = zero
+        t_s = zero
 
-    # --- quad winner t, alpha, beta (quad.rs:96-133)
-    normal_all, d_plane, w_all = scene.quad_frame()
-    nwx = tgather(normal_all[:, 0], i_quad)
-    nwy = tgather(normal_all[:, 1], i_quad)
-    nwz = tgather(normal_all[:, 2], i_quad)
-    denw = nwx * dx + nwy * dy + nwz * dz
-    t_q = intersect._safe_div(
-        tgather(d_plane, i_quad) - (nwx * ox + nwy * oy + nwz * oz), denw)
-    plx = ox + t_q * dx - tgather(scene.quad_q[:, 0], i_quad)
-    ply = oy + t_q * dy - tgather(scene.quad_q[:, 1], i_quad)
-    plz = oz + t_q * dz - tgather(scene.quad_q[:, 2], i_quad)
-    qux = tgather(scene.quad_u[:, 0], i_quad)
-    quy = tgather(scene.quad_u[:, 1], i_quad)
-    quz = tgather(scene.quad_u[:, 2], i_quad)
-    qvx = tgather(scene.quad_v[:, 0], i_quad)
-    qvy = tgather(scene.quad_v[:, 1], i_quad)
-    qvz = tgather(scene.quad_v[:, 2], i_quad)
-    wx = tgather(w_all[:, 0], i_quad)
-    wy = tgather(w_all[:, 1], i_quad)
-    wz = tgather(w_all[:, 2], i_quad)
-    alpha = (wx * (ply * qvz - plz * qvy) + wy * (plz * qvx - plx * qvz)
-             + wz * (plx * qvy - ply * qvx))
-    beta = (wx * (quy * plz - quz * ply) + wy * (quz * plx - qux * plz)
-            + wz * (qux * ply - quy * plx))
+    # --- quad winner t, alpha, beta (quad.rs:96-133); pruned likewise
+    if scene.has_quads:
+        normal_all, d_plane, w_all = scene.quad_frame()
+        nwx = tgather(normal_all[:, 0], i_quad)
+        nwy = tgather(normal_all[:, 1], i_quad)
+        nwz = tgather(normal_all[:, 2], i_quad)
+        denw = nwx * dx + nwy * dy + nwz * dz
+        t_q = intersect._safe_div(
+            tgather(d_plane, i_quad) - (nwx * ox + nwy * oy + nwz * oz),
+            denw)
+        plx = ox + t_q * dx - tgather(scene.quad_q[:, 0], i_quad)
+        ply = oy + t_q * dy - tgather(scene.quad_q[:, 1], i_quad)
+        plz = oz + t_q * dz - tgather(scene.quad_q[:, 2], i_quad)
+        qux = tgather(scene.quad_u[:, 0], i_quad)
+        quy = tgather(scene.quad_u[:, 1], i_quad)
+        quz = tgather(scene.quad_u[:, 2], i_quad)
+        qvx = tgather(scene.quad_v[:, 0], i_quad)
+        qvy = tgather(scene.quad_v[:, 1], i_quad)
+        qvz = tgather(scene.quad_v[:, 2], i_quad)
+        wx = tgather(w_all[:, 0], i_quad)
+        wy = tgather(w_all[:, 1], i_quad)
+        wz = tgather(w_all[:, 2], i_quad)
+        alpha = (wx * (ply * qvz - plz * qvy) + wy * (plz * qvx - plx * qvz)
+                 + wz * (plx * qvy - ply * qvx))
+        beta = (wx * (quy * plz - quz * ply) + wy * (quz * plx - qux * plz)
+                + wz * (qux * ply - quy * plx))
+    else:
+        nwx = nwy = nwz = zero
+        t_q = alpha = beta = zero
 
     # --- medium winner t (constant_medium.rs:34-71, recorded medium only);
     # statically pruned for media-free scenes (no medium is ever recorded)
@@ -247,13 +259,17 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
                                          jnp.where(is_quad, t_q, 0.0)))
     px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
 
-    # division (not reciprocal-multiply): bitwise-matches the direct path's
-    # assemble_hit (intersect.py) for the replay==direct gradient tests
-    r_best = jnp.maximum(tgather(scene.sph_radius, i_sph), 1e-12)
-    sox = (px - cwx) / r_best
-    soy = (py - cwy) / r_best
-    soz = (pz - cwz) / r_best
-    sph_u, sph_v = _sphere_uv_c(sox, soy, soz)
+    if scene.has_spheres:
+        # division (not reciprocal-multiply): bitwise-matches the direct
+        # path's assemble_hit (intersect.py) for the replay==direct tests
+        r_best = jnp.maximum(tgather(scene.sph_radius, i_sph), 1e-12)
+        sox = (px - cwx) / r_best
+        soy = (py - cwy) / r_best
+        soz = (pz - cwz) / r_best
+        sph_u, sph_v = _sphere_uv_c(sox, soy, soz)
+    else:
+        sox = soy = soz = zero
+        sph_u = sph_v = zero
 
     outx = jnp.where(is_med, dx, jnp.where(is_sph, sox, nwx))
     outy = jnp.where(is_med, dy, jnp.where(is_sph, soy, nwy))
@@ -264,9 +280,11 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
 
     u = jnp.where(is_sph, sph_u, jnp.where(is_quad, alpha, 0.0))
     v = jnp.where(is_sph, sph_v, jnp.where(is_quad, beta, 0.0))
+    mat_sph = scene.sph_mat[i_sph] if scene.has_spheres else i_sph
+    mat_quad = scene.quad_mat[i_quad] if scene.has_quads else i_quad
     mat_id = jnp.where(
         is_med, scene.med_mat[med_idx],
-        jnp.where(is_sph, scene.sph_mat[i_sph], scene.quad_mat[i_quad]),
+        jnp.where(is_sph, mat_sph, mat_quad),
     ).astype(jnp.int32)
 
     return HitC(hit=any_hit, t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
