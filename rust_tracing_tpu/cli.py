@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="FILE",
                    help="emit one JSON metrics line per render/step "
                         "(SURVEY.md §5.5): to stderr, or appended to FILE")
+    p.add_argument("--grad-check", action="store_true",
+                   help="before rendering, validate the differentiable "
+                        "pipeline on this scene: autodiff gradient vs "
+                        "central finite differences of the same fixed-RNG "
+                        "estimator (BASELINE.json gradient-correctness "
+                        "metric), printed and exit-status-gated")
     return p
 
 
@@ -115,6 +121,56 @@ def main(argv=None) -> int:
           f"{camera.samples_per_pixel}spp depth {camera.max_depth})")
 
     out_png = f"{args.output}.png"
+
+    if args.grad_check:
+        # Differentiable-pipeline self-check (BASELINE.json gradient metric):
+        # autodiff vs central finite differences of the SAME fixed-RNG
+        # estimator, on this scene's strongest albedo coordinates. The RNG is
+        # counter-addressed, so the estimator is deterministic in the
+        # parameters and FD is exact up to f32 arithmetic + curvature.
+        import numpy as np
+
+        from . import grad as grad_mod
+
+        n_pix = camera.image_width * camera.image_height
+        stride = max(1, n_pix // 2048)
+        pixel_ids = jnp.arange(0, n_pix, stride, dtype=jnp.int32)
+        spp_c, depth_c = 8, min(4, camera.max_depth)
+        loss_fn = lambda im, pid: jnp.mean(im)
+
+        def loss_at(s):
+            l, _ = grad_mod.loss_and_grad(s, camera, loss_fn, seed=args.seed,
+                                          spp=spp_c, max_depth=depth_c,
+                                          pixel_ids=pixel_ids, dtype=dtype)
+            return float(l)
+
+        _, g = grad_mod.loss_and_grad(scene, camera, loss_fn, seed=args.seed,
+                                      spp=spp_c, max_depth=depth_c,
+                                      pixel_ids=pixel_ids, dtype=dtype)
+        g_tex = np.asarray(g.tex_rgb, np.float64)
+        order = np.argsort(np.abs(g_tex).ravel())[::-1][:3]
+        ok, checked, eps = True, 0, 1e-2
+        for lin in order:
+            j, k = divmod(int(lin), g_tex.shape[1])
+            if abs(g_tex[j, k]) < 1e-7:
+                continue
+            arr = np.asarray(scene.tex_rgb, np.float64)
+            up = dataclasses.replace(
+                scene, tex_rgb=jnp.asarray(arr + eps * (np.arange(arr.size)
+                      .reshape(arr.shape) == lin), scene.tex_rgb.dtype))
+            dn = dataclasses.replace(
+                scene, tex_rgb=jnp.asarray(arr - eps * (np.arange(arr.size)
+                      .reshape(arr.shape) == lin), scene.tex_rgb.dtype))
+            fd = (loss_at(up) - loss_at(dn)) / (2 * eps)
+            rel = abs(fd - g_tex[j, k]) / max(abs(fd), 1e-12)
+            print(f"grad-check tex_rgb[{j},{k}]: ad={g_tex[j, k]:+.6e} "
+                  f"fd={fd:+.6e} rel_err={rel:.3e}")
+            ok &= rel < 5e-2 or abs(fd - g_tex[j, k]) < 1e-6
+            checked += 1
+        print(f"grad-check: {'OK' if ok and checked else 'FAIL'} "
+              f"({checked} coordinates)")
+        if not (ok and checked):
+            return 1
 
     if args.report_occupancy:
         from .renderer import measure_occupancy
