@@ -125,9 +125,12 @@ def main(argv=None) -> int:
     if args.grad_check:
         # Differentiable-pipeline self-check (BASELINE.json gradient metric):
         # autodiff vs central finite differences of the SAME fixed-RNG
-        # estimator, on this scene's strongest albedo coordinates. The RNG is
-        # counter-addressed, so the estimator is deterministic in the
-        # parameters and FD is exact up to f32 arithmetic + curvature.
+        # estimator. The RNG is counter-addressed, so the estimator is
+        # deterministic in the parameters and FD is exact up to f32
+        # arithmetic + curvature. Probes the strongest coordinates among the
+        # SMOOTH parameter families; scenes where a family's gradient is
+        # legitimately zero (e.g. earth's solid-color table is unused) fall
+        # through to the next family rather than failing.
         import numpy as np
 
         from . import grad as grad_mod
@@ -139,37 +142,46 @@ def main(argv=None) -> int:
         loss_fn = lambda im, pid: jnp.mean(im)
 
         def loss_at(s):
-            l, _ = grad_mod.loss_and_grad(s, camera, loss_fn, seed=args.seed,
-                                          spp=spp_c, max_depth=depth_c,
-                                          pixel_ids=pixel_ids, dtype=dtype)
-            return float(l)
+            # forward-only evaluation (no wasted backward pass)
+            img, _ = grad_mod.radiance_mean_rays(
+                s, camera.constants(dtype), pixel_ids, jnp.uint32(args.seed),
+                spp_c, depth_c)
+            return float(loss_fn(img, pixel_ids))
 
         _, g = grad_mod.loss_and_grad(scene, camera, loss_fn, seed=args.seed,
                                       spp=spp_c, max_depth=depth_c,
-                                      pixel_ids=pixel_ids, dtype=dtype)
-        g_tex = np.asarray(g.tex_rgb, np.float64)
-        order = np.argsort(np.abs(g_tex).ravel())[::-1][:3]
+                                      pixel_ids=pixel_ids, dtype=dtype,
+                                      use_recorder=False)
         ok, checked, eps = True, 0, 1e-2
-        for lin in order:
-            j, k = divmod(int(lin), g_tex.shape[1])
-            if abs(g_tex[j, k]) < 1e-7:
-                continue
-            arr = np.asarray(scene.tex_rgb, np.float64)
-            up = dataclasses.replace(
-                scene, tex_rgb=jnp.asarray(arr + eps * (np.arange(arr.size)
-                      .reshape(arr.shape) == lin), scene.tex_rgb.dtype))
-            dn = dataclasses.replace(
-                scene, tex_rgb=jnp.asarray(arr - eps * (np.arange(arr.size)
-                      .reshape(arr.shape) == lin), scene.tex_rgb.dtype))
-            fd = (loss_at(up) - loss_at(dn)) / (2 * eps)
-            rel = abs(fd - g_tex[j, k]) / max(abs(fd), 1e-12)
-            print(f"grad-check tex_rgb[{j},{k}]: ad={g_tex[j, k]:+.6e} "
-                  f"fd={fd:+.6e} rel_err={rel:.3e}")
-            ok &= rel < 5e-2 or abs(fd - g_tex[j, k]) < 1e-6
-            checked += 1
-        print(f"grad-check: {'OK' if ok and checked else 'FAIL'} "
-              f"({checked} coordinates)")
-        if not (ok and checked):
+        fields = ("tex_rgb", "mat_albedo", "tex_noise_scale",
+                  "med_neg_inv_density")
+        for field in fields:
+            g_f = np.asarray(getattr(g, field), np.float64)
+            order = np.argsort(np.abs(g_f).ravel())[::-1][:3]
+            for lin in order:
+                if abs(g_f.ravel()[lin]) < 1e-7:
+                    continue
+                arr = np.asarray(getattr(scene, field), np.float64)
+                delta = eps * (np.arange(arr.size).reshape(arr.shape) == lin)
+                base = getattr(scene, field)
+                up = dataclasses.replace(
+                    scene, **{field: jnp.asarray(arr + delta, base.dtype)})
+                dn = dataclasses.replace(
+                    scene, **{field: jnp.asarray(arr - delta, base.dtype)})
+                fd = (loss_at(up) - loss_at(dn)) / (2 * eps)
+                ad = g_f.ravel()[lin]
+                rel = abs(fd - ad) / max(abs(fd), 1e-12)
+                idx = np.unravel_index(lin, arr.shape)
+                print(f"grad-check {field}{list(idx)}: ad={ad:+.6e} "
+                      f"fd={fd:+.6e} rel_err={rel:.3e}")
+                ok &= rel < 5e-2 or abs(fd - ad) < 1e-6
+                checked += 1
+            if checked >= 3:
+                break
+        verdict = "OK" if ok and checked else ("SKIP (no smooth nonzero-"
+                  "gradient parameter at this config)" if ok else "FAIL")
+        print(f"grad-check: {verdict} ({checked} coordinates)")
+        if not ok:
             return 1
 
     if args.report_occupancy:

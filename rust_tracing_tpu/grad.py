@@ -161,6 +161,16 @@ def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
                          chunk_rad)
 
 
+def _is_identity_pixels(pixel_ids, n_pix: int) -> bool:
+    """True when ``pixel_ids`` is exactly arange(n_pix) (full frame in
+    order). One small host pull; guards multi-hundred-MB identity gathers."""
+    if pixel_ids.shape[0] != n_pix:
+        return False
+    pid = np.asarray(pixel_ids)
+    return bool(pid[0] == 0 and pid[-1] == n_pix - 1
+                and np.array_equal(pid, np.arange(n_pix, dtype=pid.dtype)))
+
+
 def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
                 pixel_ids=None, hit_fn=None, dtype=jnp.float32,
                 sample_offset: int = 0):
@@ -179,7 +189,11 @@ def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
     if jax.default_backend() == "tpu" and mk.supports(scene):
         recs = mk.record_paths(scene, camera, seed, spp, max_depth,
                                sample_offset=sample_offset)
-        if pixel_ids is not None:
+        if pixel_ids is not None and not _is_identity_pixels(pixel_ids,
+                                                            n_pix):
+            # subset gather only when actually subsetting: a full-frame
+            # identity take would copy the whole (spp, depth, n_pix) record
+            # volume (~256 MB/slice in the chunked headline path) for nothing
             recs = jnp.take(recs, jnp.asarray(pixel_ids), axis=2)
         return recs
     cam = camera.constants(dtype)

@@ -1339,13 +1339,16 @@ def render_fast_sharded(scene, camera, mesh, seed: int = 0,
     tile_s = TILE * spp_local * plen * seg_ops / 150e9
     tile_chunk = max(1, min(nt_dev, int(8.0 / max(tile_s, 1e-4))))
 
-    seed_arr = jnp.asarray(np.asarray([seed, 0, 0], np.int32))
     chunk_outs = []
     for c0 in range(0, nt_dev, tile_chunk):
         nt = min(tile_chunk, nt_dev - c0)
         fn = _get_sharded_call(mesh, camera, w, h, spp_local, max_depth,
-                               dims, flags, med_types, img_dims, nt, c0,
+                               dims, flags, med_types, img_dims, nt,
                                nt_dev, n_sd, interpret, len(dev_args))
+        # c0 rides in the runtime seed array (NOT the cache key/closure):
+        # only the tail chunk's nt makes a second compiled entry, so
+        # many-chunk workloads reuse one cached program per chunk size.
+        seed_arr = jnp.asarray(np.asarray([seed, c0, 0], np.int32))
         chunk_outs.append(fn(*dev_args, seed_arr))
 
     r, g, b, n = _reassemble(chunk_outs, n_rd, n_tiles * ROWS)
@@ -1368,17 +1371,20 @@ def _reassemble(chunks, n_rd, keep_rows):
 
 
 def _get_sharded_call(mesh, cam, width, height, spp_local, max_depth, dims,
-                      flags, med_types, img_dims, nt, c0, nt_dev, n_sd,
+                      flags, med_types, img_dims, nt, nt_dev, n_sd,
                       interpret, n_dev_args):
     """Cached jit(shard_map(pallas_call)) for one (mesh, kernel config,
-    chunk) — rebuilding the closure per render would retrace every call
-    (measured 30% overhead on a 2.2 s cornell render)."""
+    chunk size) — rebuilding the closure per render would retrace every call
+    (measured 30% overhead on a 2.2 s cornell render). The chunk's tile
+    offset arrives at runtime in the seed array (sd[1]), so many-chunk
+    workloads share one compiled program per chunk SIZE instead of
+    LRU-thrashing one entry per chunk."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import RAYS_AXIS, SAMPLE_AXIS
 
     key = ("sharded", mesh, _cam_key(cam), width, height, spp_local,
-           max_depth, dims, flags, med_types, img_dims, nt, c0, nt_dev,
+           max_depth, dims, flags, med_types, img_dims, nt, nt_dev,
            n_sd, bool(interpret))
     fn = _call_cache.get(key)
     if fn is not None:
@@ -1398,7 +1404,7 @@ def _get_sharded_call(mesh, cam, width, height, spp_local, max_depth, dims,
         soff = (jax.lax.axis_index(SAMPLE_AXIS) * spp_local
                 if n_sd > 1 else jnp.int32(0))
         scal = jnp.stack([sd[0],
-                          (ridx * nt_dev + c0).astype(jnp.int32),
+                          (ridx * nt_dev + sd[1]).astype(jnp.int32),
                           soff.astype(jnp.int32)])
         r, g, b, n = raw(*dev, scal)
         if n_sd > 1:

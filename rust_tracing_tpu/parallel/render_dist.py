@@ -25,8 +25,10 @@ from .mesh import RAYS_AXIS, SAMPLE_AXIS
 def _local_radiance_sum(scene, cam, pixel_ids, seed, sample_base, spp_local,
                         max_depth, hit_fn=None, with_rays=False):
     """Sum of radiance samples ``sample_base .. sample_base+spp_local`` for
-    this chip's pixel shard (plus the exact traced-ray count with
-    ``with_rays`` — scene queries, same counter as the single-chip paths).
+    this chip's pixel shard (plus the traced-ray count with ``with_rays`` —
+    scene queries, same counter as the single-chip paths; accumulated in f32,
+    so counts above 2^24 carry sub-0.001% rounding — a rate numerator, not
+    an exact tally).
 
     Samples are addressed globally by (seed, pixel, sample) — the chip's mesh
     coordinates never enter the RNG, so the sharded render equals the

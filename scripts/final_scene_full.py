@@ -29,7 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "artifacts")
 PROGRESS = os.path.join(ART, "final_scene_full_progress.json")
-STATE_NPY = os.path.join(ART, "final_scene_full_accum.npy")
+STATE_NPY = os.path.join(ART, "final_scene_full_accum.npy")  # legacy pair
+STATE_NPZ = os.path.join(ART, "final_scene_full_state.npz")  # atomic state
+
+
+def _atomic_write(path, write_fn):
+    """write_fn(tmp_path) then atomic rename — a kill can only ever leave
+    the previous consistent state on disk."""
+    tmp = path + ".tmp"
+    write_fn(tmp)
+    os.replace(tmp, path)
 
 
 def main():
@@ -56,17 +65,29 @@ def main():
     w, h = camera.image_width, camera.image_height
     n_slices = (args.spp + args.slice_spp - 1) // args.slice_spp
 
+    workload = f"{w}x{h}@{args.spp}spp d{args.max_depth}"
     done, rays, seconds = 0, 0.0, 0.0
     accum = np.zeros((h, w, 3), np.float64)
-    if not args.fresh and os.path.exists(PROGRESS) and os.path.exists(STATE_NPY):
+    if not args.fresh and os.path.exists(STATE_NPZ):
+        # atomic single-file state: accumulator + counters always consistent
+        st = np.load(STATE_NPZ, allow_pickle=False)
+        if (str(st["workload"]) == workload
+                and int(st["slice_spp"]) == args.slice_spp):
+            done = int(st["slices_done"])
+            rays = float(st["rays"])
+            seconds = float(st["seconds"])
+            accum = st["accum"]
+    elif not args.fresh and os.path.exists(PROGRESS) and os.path.exists(STATE_NPY):
+        # legacy two-file pair (pre-atomic runs)
         with open(PROGRESS) as f:
             p = json.load(f)
         if (p.get("slice_spp") == args.slice_spp
-                and p.get("workload") == f"{w}x{h}@{args.spp}spp d{args.max_depth}"):
+                and p.get("workload") == workload):
             done, rays, seconds = p["slices_done"], p["rays"], p["seconds"]
             accum = np.load(STATE_NPY)
-            print(f"resuming at slice {done}/{n_slices} "
-                  f"({seconds:.0f}s, {rays/1e9:.2f}G rays so far)", flush=True)
+    if done:
+        print(f"resuming at slice {done}/{n_slices} "
+              f"({seconds:.0f}s, {rays/1e9:.2f}G rays so far)", flush=True)
 
     for s in range(done, n_slices):
         k = min(args.slice_spp, args.spp - s * args.slice_spp)
@@ -81,15 +102,16 @@ def main():
         rays += stats.rays
         seconds += dt
         done = s + 1
-        np.save(STATE_NPY, accum)
+        _atomic_write(STATE_NPZ, lambda t: np.savez(
+            open(t, "wb"), accum=accum, slices_done=done, rays=rays,
+            seconds=seconds, workload=workload, slice_spp=args.slice_spp))
         write_png(os.path.join(ART, "final_scene_tpu.png"), accum)
-        with open(PROGRESS, "w") as f:
-            json.dump({"workload": f"{w}x{h}@{args.spp}spp d{args.max_depth}",
-                       "slice_spp": args.slice_spp,
-                       "slices_done": done, "n_slices": n_slices,
-                       "rays": rays, "seconds": round(seconds, 1),
-                       "traced_mrays_per_sec": round(rays / seconds / 1e6, 2),
-                       "complete": done == n_slices}, f, indent=1)
+        _atomic_write(PROGRESS, lambda t: json.dump(
+            {"workload": workload, "slice_spp": args.slice_spp,
+             "slices_done": done, "n_slices": n_slices,
+             "rays": rays, "seconds": round(seconds, 1),
+             "traced_mrays_per_sec": round(rays / seconds / 1e6, 2),
+             "complete": done == n_slices}, open(t, "w"), indent=1))
         print(f"slice {done}/{n_slices}: {dt:.1f}s "
               f"{stats.rays/dt/1e6:.2f} Mrays/s "
               f"(cum {rays/seconds/1e6:.2f} Mrays/s, "
