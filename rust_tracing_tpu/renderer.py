@@ -79,7 +79,8 @@ def _occupancy_chunk(scene, cam, pixel_ids, seed, spp, max_depth, hit_fn=None):
         _, _, occ = integrator.trace(scene, o, d, t, (seed, pixel_ids, s),
                                      max_depth, closest_hit_fn=hit_fn,
                                      with_occupancy=True)
-        return acc + occ
+        # int32 carry regardless of x64 mode (jnp.sum of bool widens there)
+        return acc + occ.astype(jnp.int32)
 
     return jax.lax.fori_loop(0, spp, body,
                              jnp.zeros((max_depth,), jnp.int32))
