@@ -76,7 +76,7 @@ def main():
     def run_grad(seed):
         loss, g, nrays = grad_mod.loss_and_grad(
             scene, camera, loss_fn, seed=seed, spp=SPP,
-            max_depth=MAX_DEPTH, with_rays=True)
+            max_depth=MAX_DEPTH, with_rays=True, linear_loss=True)
         jax.block_until_ready(g.sph_center)
         return nrays
 

@@ -209,7 +209,8 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
                   spp: Optional[int] = None, max_depth: Optional[int] = None,
                   pixel_ids=None, hit_fn=None, dtype=jnp.float32,
                   with_rays: bool = False, remat: bool = False,
-                  use_recorder: Optional[bool] = None):
+                  use_recorder: Optional[bool] = None,
+                  linear_loss: bool = False):
     """(loss, d loss / d scene) for ``loss_fn(image_flat (C,3), pixel_ids)``.
 
     ``pixel_ids`` defaults to the full image. The returned gradient is a
@@ -221,6 +222,12 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     ``use_recorder`` selects the record/replay pipeline (default: on for TPU
     backends): the hit SEARCH runs once in the fused Pallas recorder, and the
     differentiable pass replays the recorded winners with O(rays) work.
+
+    ``linear_loss``: the caller asserts d loss/d image is a CONSTANT (mean /
+    weighted-sum losses). The chunked big-workload path then skips its
+    dedicated forward render — the cotangent is evaluated at a zero image and
+    the loss at the image the slice VJPs reconstruct. Wrong results if the
+    loss is actually nonlinear; ignored on the single-shot path.
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
@@ -252,7 +259,7 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
         loss, nrays, dg = _chunked_recorder_vag(
             scene, camera, loss_fn, seed, spp, max_depth, pixel_ids, hit_fn,
             dtype, cam, seed_arr, tuple(diff), tuple(frozen), treedef,
-            tuple(is_diff))
+            tuple(is_diff), linear_loss=linear_loss)
     else:
         records = None
         if use_recorder:
@@ -279,7 +286,7 @@ RECORD_BUDGET_ENTRIES = 1 << 26  # 256 MB of records per slice
 
 def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
                           pixel_ids, hit_fn, dtype, cam, seed_arr, diff,
-                          frozen, treedef, is_diff):
+                          frozen, treedef, is_diff, linear_loss=False):
     """Two-pass gradient accumulation for record/replay workloads whose
     records don't fit on device at once:
 
@@ -293,6 +300,11 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
          the accumulated VJPs are exactly the full-workload gradient (up to
          float-sum association of the slice partition).
 
+    With ``linear_loss`` (caller asserts d loss/d image is constant — mean /
+    dot-product losses), pass 1 is skipped entirely: the cotangent is
+    evaluated at a zero image, and the loss comes from the image the slice
+    VJP primals reconstruct during pass 2.
+
     Returns (loss, rays, grads-over-diff-leaves) like _vag.
     """
     C = pixel_ids.shape[0]
@@ -301,40 +313,51 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
     # ---- pass 1: full-spp forward mean + loss cotangent
     from .ops import megakernel as mk
 
-    if jax.default_backend() == "tpu" and mk.supports(scene):
-        img_full = mk.render_fast(scene, camera, seed=seed, spp=spp,
-                                  max_depth=max_depth)
-        img_flat = jnp.asarray(img_full.reshape(-1, 3),
-                               cam.center.dtype)[pixel_ids]
-    else:  # oracle fallback: chunked replay forward (same estimator)
-        acc = jnp.zeros((C, 3), cam.center.dtype)
-        for c0 in range(0, spp, spp_chunk):
-            k = min(spp_chunk, spp - c0)
-            recs = get_records(scene, camera, seed, k, max_depth,
-                               pixel_ids=pixel_ids, hit_fn=hit_fn,
-                               dtype=dtype, sample_offset=c0)
-            m, _ = radiance_mean_replay_rays(scene, cam, pixel_ids, seed_arr,
-                                             recs, k, max_depth,
-                                             sample_base=jnp.int32(c0))
-            acc = acc + m * (k / spp)
-        img_flat = acc
-    loss, vjp_loss = jax.vjp(lambda im: loss_fn(im, pixel_ids), img_flat)
-    (g_img,) = vjp_loss(jnp.ones_like(loss))
+    if linear_loss:
+        zero_img = jnp.zeros((C, 3), cam.center.dtype)
+        l0, vjp_loss = jax.vjp(lambda im: loss_fn(im, pixel_ids), zero_img)
+        (g_img,) = vjp_loss(jnp.ones_like(l0))
+    else:
+        if jax.default_backend() == "tpu" and mk.supports(scene):
+            img_full = mk.render_fast(scene, camera, seed=seed, spp=spp,
+                                      max_depth=max_depth)
+            img_flat = jnp.asarray(img_full.reshape(-1, 3),
+                                   cam.center.dtype)[pixel_ids]
+        else:  # oracle fallback: chunked replay forward (same estimator)
+            acc = jnp.zeros((C, 3), cam.center.dtype)
+            for c0 in range(0, spp, spp_chunk):
+                k = min(spp_chunk, spp - c0)
+                recs = get_records(scene, camera, seed, k, max_depth,
+                                   pixel_ids=pixel_ids, hit_fn=hit_fn,
+                                   dtype=dtype, sample_offset=c0)
+                m, _ = radiance_mean_replay_rays(scene, cam, pixel_ids,
+                                                 seed_arr, recs, k, max_depth,
+                                                 sample_base=jnp.int32(c0))
+                acc = acc + m * (k / spp)
+            img_flat = acc
+        loss, vjp_loss = jax.vjp(lambda im: loss_fn(im, pixel_ids), img_flat)
+        (g_img,) = vjp_loss(jnp.ones_like(loss))
 
-    # ---- pass 2: accumulate per-slice VJPs
+    # ---- pass 2: accumulate per-slice VJPs (+ image primal when linear)
     grads = None
     nrays = 0.0
+    img_acc = None
     for c0 in range(0, spp, spp_chunk):
         k = min(spp_chunk, spp - c0)
         recs = get_records(scene, camera, seed, k, max_depth,
                            pixel_ids=pixel_ids, hit_fn=hit_fn, dtype=dtype,
                            sample_offset=c0)
         ct = (g_img * (k / spp)).astype(cam.center.dtype)
-        nr, dg = _chunk_vjp(diff, frozen, treedef, is_diff, cam, pixel_ids,
-                            seed_arr, recs, ct, jnp.int32(c0), spp=k,
-                            max_depth=max_depth)
+        img_k, nr, dg = _chunk_vjp(diff, frozen, treedef, is_diff, cam,
+                                   pixel_ids, seed_arr, recs, ct,
+                                   jnp.int32(c0), spp=k, max_depth=max_depth)
         nrays += float(nr)
         grads = dg if grads is None else [a + b for a, b in zip(grads, dg)]
+        if linear_loss:
+            w_img = img_k * (k / spp)
+            img_acc = w_img if img_acc is None else img_acc + w_img
+    if linear_loss:
+        loss = loss_fn(img_acc, pixel_ids)
     return loss, nrays, grads
 
 
@@ -359,7 +382,7 @@ def _chunk_vjp(diff, frozen, treedef, is_diff, cam, pixel_ids, seed_arr,
 
     img, vjp_fn, nr = jax.vjp(f, diff, has_aux=True)
     (dg,) = vjp_fn(ct)
-    return nr, dg
+    return img, nr, dg
 
 
 @functools.partial(

@@ -76,6 +76,19 @@ def test_chunked_grad_accumulation_matches_single_shot(monkeypatch):
                                    np.asarray(getattr(g2, f)),
                                    rtol=2e-5, atol=1e-7)
 
+    # linear_loss fast path (mean IS linear): same gradient, same loss
+    loss_lin = lambda im, p: jnp.mean(im)
+    l3, g3 = gm.loss_and_grad(scene, camera, loss_lin, seed=3, spp=8,
+                              max_depth=4, use_recorder=True)
+    l4, g4 = gm.loss_and_grad(scene, camera, loss_lin, seed=3, spp=8,
+                              max_depth=4, use_recorder=True,
+                              linear_loss=True)
+    np.testing.assert_allclose(float(l3), float(l4), rtol=1e-6)
+    for f in ("tex_rgb", "quad_u"):
+        np.testing.assert_allclose(np.asarray(getattr(g3, f)),
+                                   np.asarray(getattr(g4, f)),
+                                   rtol=2e-5, atol=1e-7)
+
 
 def test_kernel_recorder_matches_xla_records():
     scene, camera = _cornell(width=16, spp=3, depth=3)
