@@ -86,6 +86,25 @@ def main():
     grad_rays = sum(run_grad(i + 1) for i in range(n_rep))
     fwdbwd_rays_per_sec = grad_rays / (time.perf_counter() - t0)
 
+    # ---- forward+backward, NONLINEAR (L2) loss (aux): the fit_scene-style
+    # training objective — runs the general path (dedicated forward render
+    # for the cotangent), so training-loop perf is tracked machine-readably
+    # and can't silently regress behind the linear-loss headline.
+    l2_fn = grad_mod.l2_to_target(
+        jnp.asarray(img.reshape(-1, 3), jnp.float32))
+
+    def run_grad_l2(seed):
+        loss, g, nrays = grad_mod.loss_and_grad(
+            scene, camera, l2_fn, seed=seed, spp=SPP,
+            max_depth=MAX_DEPTH, with_rays=True)
+        jax.block_until_ready(g.sph_center)
+        return nrays
+
+    run_grad_l2(0)  # compile
+    t0 = time.perf_counter()
+    l2_rays = sum(run_grad_l2(i + 1) for i in range(n_rep))
+    fwdbwd_l2_rays_per_sec = l2_rays / (time.perf_counter() - t0)
+
     result = {
         "metric": "cornell600_200spp_fwdbwd_rays_per_sec_per_chip",
         "value": round(fwdbwd_rays_per_sec),
@@ -95,6 +114,7 @@ def main():
         "aux": {
             "fwdbwd_workload": f"{WIDTH}x{settings.image_height}@{SPP}spp "
                                f"d{MAX_DEPTH} full frame, all scene params",
+            "fwdbwd_l2_rays_per_sec": round(fwdbwd_l2_rays_per_sec),
             "forward_rays_per_sec": round(fwd_rays_per_sec),
             "forward_vs_baseline": round(
                 fwd_rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC, 4),

@@ -173,7 +173,7 @@ def _is_identity_pixels(pixel_ids, n_pix: int) -> bool:
 
 def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
                 pixel_ids=None, hit_fn=None, dtype=jnp.float32,
-                sample_offset: int = 0):
+                sample_offset: int = 0, prefer_kernel: bool = True):
     """Per-(sample, bounce) hit-winner records for the replay pipeline,
     covering global samples ``sample_offset .. sample_offset + spp``.
 
@@ -181,12 +181,17 @@ def get_records(scene, camera: Camera, seed: int, spp: int, max_depth: int,
     full image (subset by ``pixel_ids`` afterwards); elsewhere the XLA search
     produces identical records. Records are data, not a differentiable
     quantity (the search is piecewise-constant — SURVEY.md §7).
+
+    ``prefer_kernel=False`` forces the XLA search — required when the caller
+    supplies a custom ``hit_fn`` (the Pallas recorder runs its own search and
+    would silently ignore it).
     """
     from .ops import megakernel as mk
     from .ops import replay as replay_mod
 
     n_pix = camera.image_width * camera.image_height
-    if jax.default_backend() == "tpu" and mk.supports(scene):
+    if (prefer_kernel and jax.default_backend() == "tpu"
+            and mk.supports(scene)):
         recs = mk.record_paths(scene, camera, seed, spp, max_depth,
                                sample_offset=sample_offset)
         if pixel_ids is not None and not _is_identity_pixels(pixel_ids,
@@ -226,11 +231,13 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
     ``linear_loss``: the caller asserts d loss/d image is a CONSTANT (mean /
     weighted-sum losses). The chunked big-workload path then skips its
     dedicated forward render — the cotangent is evaluated at a zero image and
-    the loss at the image the slice VJPs reconstruct. Wrong results if the
-    loss is actually nonlinear; ignored on the single-shot path.
+    the loss at the image the slice VJPs reconstruct. The assertion is
+    validated by a cheap linearity probe (ValueError on a nonlinear loss);
+    ignored on the single-shot path.
     """
     spp = spp or camera.samples_per_pixel
     max_depth = max_depth or camera.max_depth
+    custom_hit = hit_fn is not None
     if hit_fn is None:
         from .ops.bvh_traverse import auto_closest_hit
 
@@ -240,6 +247,11 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
         pixel_ids = jnp.arange(camera.image_width * camera.image_height,
                                dtype=jnp.int32)
     seed_arr = jnp.uint32(seed)
+    if linear_loss:
+        # loud failure on misuse (the chunked path would otherwise silently
+        # return a wrong loss AND gradient); costs three tiny loss evals
+        _check_linear_loss(loss_fn, pixel_ids, pixel_ids.shape[0],
+                           cam.center.dtype)
 
     # Differentiate w.r.t. the float leaves only; int/bool leaves (type codes,
     # validity masks) are structural and get zero-gradient placeholders.
@@ -256,16 +268,25 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
         # Big workloads (the contract's 600x600@200spp is 0.6G record
         # entries = 2.3 GB; alongside replay residuals that OOMs a v5e):
         # two-pass gradient accumulation over bounded sample slices.
+        if remat:
+            import warnings
+
+            warnings.warn(
+                "loss_and_grad: remat is ignored on the chunked-accumulation "
+                "path (each sample slice is already checkpointed); results "
+                "are identical, only reverse-mode memory differs.",
+                stacklevel=2)
         loss, nrays, dg = _chunked_recorder_vag(
             scene, camera, loss_fn, seed, spp, max_depth, pixel_ids, hit_fn,
             dtype, cam, seed_arr, tuple(diff), tuple(frozen), treedef,
-            tuple(is_diff), linear_loss=linear_loss)
+            tuple(is_diff), linear_loss=linear_loss,
+            allow_kernel=not custom_hit)
     else:
         records = None
         if use_recorder:
             records = get_records(scene, camera, seed, spp, max_depth,
                                   pixel_ids=pixel_ids, hit_fn=hit_fn,
-                                  dtype=dtype)
+                                  dtype=dtype, prefer_kernel=not custom_hit)
         loss, nrays, dg = _vag(tuple(diff), tuple(frozen), treedef,
                                tuple(is_diff), cam, pixel_ids, seed_arr,
                                records, spp=spp, max_depth=max_depth,
@@ -284,16 +305,42 @@ def loss_and_grad(scene, camera: Camera, loss_fn: Callable, seed: int = 0,
 RECORD_BUDGET_ENTRIES = 1 << 26  # 256 MB of records per slice
 
 
+def _check_linear_loss(loss_fn, pixel_ids, C, dtype):
+    """``linear_loss=True`` is a caller assertion that d loss/d image is
+    constant; misuse silently produces a wrong loss AND gradient (the
+    cotangent is evaluated at a zero image). This cheap secant probe makes
+    misuse fail loudly: for an affine loss, loss(2x) - 2*loss(x) + loss(0)
+    is exactly zero; three tiny loss evaluations cost nothing next to the
+    render they guard."""
+    x = ((jnp.arange(C * 3, dtype=jnp.float32) * 0.6180339887) % 1.0)
+    x = x.reshape(C, 3).astype(dtype)
+    l0 = float(loss_fn(jnp.zeros_like(x), pixel_ids))
+    l1 = float(loss_fn(x, pixel_ids))
+    l2 = float(loss_fn(2.0 * x, pixel_ids))
+    resid = abs(l2 - 2.0 * l1 + l0)
+    scale = max(abs(l1 - l0), abs(l0), 1e-30)
+    if not resid <= 1e-3 * scale + 1e-12:  # 'not <=' also catches NaN
+        raise ValueError(
+            "loss_and_grad(linear_loss=True): loss_fn failed the linearity "
+            f"probe (|l(2x)-2l(x)+l(0)| = {resid:.3e} vs scale {scale:.3e}). "
+            "linear_loss requires d loss/d image to be CONSTANT (mean / "
+            "weighted-sum losses); drop the flag for nonlinear losses.")
+
+
 def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
                           pixel_ids, hit_fn, dtype, cam, seed_arr, diff,
-                          frozen, treedef, is_diff, linear_loss=False):
+                          frozen, treedef, is_diff, linear_loss=False,
+                          allow_kernel=True):
     """Two-pass gradient accumulation for record/replay workloads whose
     records don't fit on device at once:
 
-      1. forward: the production megakernel renders the full-spp mean image
-         (the SAME estimator — both paths consume identical counter-RNG
-         streams; tests prove kernel==XLA bitwise), and the loss cotangent
-         d loss/d image is computed once at that image.
+      1. forward: the full-spp mean image is rendered by the production
+         megakernel — but ONLY for scene families where tests prove
+         kernel==XLA bitwise (solid/checker; the kernel's noise texture is a
+         different random instance and its image texture samples a mip, so
+         those families use the chunked replay forward, the SAME estimator
+         the VJP differentiates) — and the loss cotangent d loss/d image is
+         computed once at that image.
       2. backward: for each bounded sample slice, record (Pallas recorder at
          ``sample_offset``) and accumulate the slice's VJP with cotangent
          (k/spp) * d loss/d image. Radiance is linear in per-slice means, so
@@ -301,9 +348,14 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
          float-sum association of the slice partition).
 
     With ``linear_loss`` (caller asserts d loss/d image is constant — mean /
-    dot-product losses), pass 1 is skipped entirely: the cotangent is
-    evaluated at a zero image, and the loss comes from the image the slice
-    VJP primals reconstruct during pass 2.
+    dot-product losses; validated by a cheap linearity probe), pass 1 is
+    skipped entirely: the cotangent is evaluated at a zero image, and the
+    loss comes from the image the slice VJP primals reconstruct during
+    pass 2.
+
+    ``allow_kernel=False`` (caller supplied a custom hit_fn) forces the XLA
+    search for both the pass-1 forward and the records, so the estimator
+    honors the custom kernel everywhere.
 
     Returns (loss, rays, grads-over-diff-leaves) like _vag.
     """
@@ -318,18 +370,25 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
         l0, vjp_loss = jax.vjp(lambda im: loss_fn(im, pixel_ids), zero_img)
         (g_img,) = vjp_loss(jnp.ones_like(l0))
     else:
-        if jax.default_backend() == "tpu" and mk.supports(scene):
+        # kernel pass-1 only where kernel==XLA is bitwise (no noise-instance
+        # or image-mip divergence): the cotangent must be linearized at the
+        # same image the replay estimator reconstructs, or the gradient of a
+        # nonlinear loss is silently biased.
+        kernel_exact = not (scene.has_noise or scene.has_image)
+        if (allow_kernel and kernel_exact
+                and jax.default_backend() == "tpu" and mk.supports(scene)):
             img_full = mk.render_fast(scene, camera, seed=seed, spp=spp,
                                       max_depth=max_depth)
             img_flat = jnp.asarray(img_full.reshape(-1, 3),
                                    cam.center.dtype)[pixel_ids]
-        else:  # oracle fallback: chunked replay forward (same estimator)
+        else:  # chunked replay forward: the estimator being differentiated
             acc = jnp.zeros((C, 3), cam.center.dtype)
             for c0 in range(0, spp, spp_chunk):
                 k = min(spp_chunk, spp - c0)
                 recs = get_records(scene, camera, seed, k, max_depth,
                                    pixel_ids=pixel_ids, hit_fn=hit_fn,
-                                   dtype=dtype, sample_offset=c0)
+                                   dtype=dtype, sample_offset=c0,
+                                   prefer_kernel=allow_kernel)
                 m, _ = radiance_mean_replay_rays(scene, cam, pixel_ids,
                                                  seed_arr, recs, k, max_depth,
                                                  sample_base=jnp.int32(c0))
@@ -346,7 +405,7 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
         k = min(spp_chunk, spp - c0)
         recs = get_records(scene, camera, seed, k, max_depth,
                            pixel_ids=pixel_ids, hit_fn=hit_fn, dtype=dtype,
-                           sample_offset=c0)
+                           sample_offset=c0, prefer_kernel=allow_kernel)
         ct = (g_img * (k / spp)).astype(cam.center.dtype)
         img_k, nr, dg = _chunk_vjp(diff, frozen, treedef, is_diff, cam,
                                    pixel_ids, seed_arr, recs, ct,

@@ -331,12 +331,43 @@ def build_kernel_bvh(scene, leaf_size: int = 16, seed: int = 0,
     )
 
 
+def _tex_reaches_image(scene, tex_ids) -> bool:
+    """True if any texture id in ``tex_ids`` samples the image texture,
+    directly or through one checker nesting level (the builder's limit)."""
+    tex_type = np.asarray(scene.tex_type)
+    tex_even = np.asarray(scene.tex_even)
+    tex_odd = np.asarray(scene.tex_odd)
+    for t in np.unique(np.asarray(tex_ids)):
+        if tex_type[t] == TEX_IMAGE:
+            return True
+        if tex_type[t] == TEX_CHECKER and (
+                tex_type[tex_even[t]] == TEX_IMAGE
+                or tex_type[tex_odd[t]] == TEX_IMAGE):
+            return True
+    return False
+
+
 def supports(scene) -> bool:
     """Megakernel coverage: every reference scene family. Image textures
-    sample an IMG_MAX_TEXELS mip via chunked lane gathers (spheres only —
-    quad image UVs are not tracked in the kernel; no reference scene maps an
-    image onto a quad)."""
-    return True
+    sample an IMG_MAX_TEXELS mip via chunked lane gathers using the SPHERE
+    UV formula (sphere.rs:48-52) only — quad (α,β) UVs (quad.rs:131) and
+    medium hits are not tracked in the kernel, so a scene routing an image
+    texture to a quad or medium material would render silently wrong here:
+    it returns False and takes the XLA path (which tracks all UV families,
+    ops/intersect.py). No reference scene maps an image onto a quad/medium."""
+    if not scene.has_image:
+        return True
+    nonsphere_mats = []
+    if scene.has_quads:
+        qv = np.asarray(scene.quad_valid)
+        nonsphere_mats.append(np.asarray(scene.quad_mat)[qv])
+    if scene.has_media:
+        mv = np.asarray(scene.med_valid)
+        nonsphere_mats.append(np.asarray(scene.med_mat)[mv])
+    if not nonsphere_mats:
+        return True
+    mats = np.unique(np.concatenate(nonsphere_mats))
+    return not _tex_reaches_image(scene, np.asarray(scene.mat_tex)[mats])
 
 
 # ------------------------------------------------------------ lane-gather op

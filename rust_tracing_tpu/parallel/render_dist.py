@@ -161,6 +161,13 @@ def make_distributed_train_step(mesh, spp: int, max_depth: int,
     (the ICI all-reduce of SURVEY.md §5.8), then a plain SGD step updates the
     replicated scene. Only the ``trainable`` CompiledScene fields move; all
     other leaves (geometry, tables, structure) stay frozen.
+
+    This is the GENERIC step (differentiates through the XLA wavefront
+    search): it accepts any pixel sharding / custom hit kernels. The
+    PRODUCTION TPU training step is parallel/grad_dist.make_replay_train_step
+    — the sharded record/replay pipeline, ~5x faster per chip on the contract
+    workload — which this module's users should prefer whenever the scene is
+    megakernel-supported.
     """
     import dataclasses as _dc
 

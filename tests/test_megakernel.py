@@ -147,3 +147,44 @@ def test_media_and_materials_smoke():
     img_x, _ = render(scene, cam)
     assert np.isfinite(img_m).all()
     assert abs(img_m.mean() / img_x.mean() - 1.0) < 0.12
+
+
+def test_image_on_quad_unsupported():
+    """The kernel's image-texture UVs use the sphere formula only
+    (megakernel tex_value); a scene mapping an image onto a quad (or a
+    medium) must fall back to the XLA path — supports() is the gate
+    (quad.rs:131: quad UVs are (alpha, beta), tracked only by XLA)."""
+    img8 = (np.arange(4 * 8 * 3).reshape(4, 8, 3) * 7 % 256).astype(np.uint8)
+
+    def build(attach):
+        b = SceneBuilder(background=(0.1, 0.1, 0.1))
+        tex = b.image_texture(img8)
+        if attach == "quad":
+            b.add_quad((-1, -1, 2), (2, 0, 0), (0, 2, 0), b.lambertian(tex))
+        elif attach == "quad_checker":
+            chk = b.checker_texture(0.5, tex, b.solid_texture((1, 1, 1)))
+            b.add_quad((-1, -1, 2), (2, 0, 0), (0, 2, 0), b.lambertian(chk))
+        elif attach == "medium":
+            b.add_sphere_medium((0, 0, 2), 1.0, 0.5, tex)
+        else:  # sphere: the supported placement
+            b.add_sphere((0, 0, 2), 1.0, b.lambertian(tex))
+        return compile_scene(b)
+
+    assert megakernel.supports(build("sphere"))
+    assert not megakernel.supports(build("quad"))
+    assert not megakernel.supports(build("quad_checker"))
+    assert not megakernel.supports(build("medium"))
+
+    # the production entry point must route the unsupported scene to XLA and
+    # produce the correct (quad-UV) image — identical to the explicit XLA call
+    from rust_tracing_tpu.renderer import use_megakernel_default
+
+    scene = build("quad")
+    assert not use_megakernel_default(scene, jnp.float32, None)
+    cam = Camera.create(RenderSettings(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=4, max_depth=3,
+        vfov=60.0, look_from=(0, 0, 0), look_at=(0, 0, 2),
+        background=(0.1, 0.1, 0.1)))
+    img_auto, _ = render(scene, cam)
+    img_xla, _ = render(scene, cam, use_megakernel=False)
+    np.testing.assert_array_equal(np.asarray(img_auto), np.asarray(img_xla))
