@@ -120,7 +120,7 @@ def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
                               sample_chunk: Optional[int] = None,
                               sample_base=0):
     """Search-free differentiable radiance mean from recorded hit winners
-    (ops/replay.py). ``records``: (spp, max_depth, C) int32 aligned with
+    (ops/replay.py). ``records``: (max_depth, spp, C) int32 aligned with
     ``pixel_ids``. O(rays) forward AND backward — no (rays x prims) search
     appears anywhere in the autodiff graph.
 
@@ -150,8 +150,9 @@ def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
         samp = (jnp.asarray(sample_base, jnp.int32) + s0
                 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), C))
         o, d, t = get_rays(cam, seed, pix, samp)
-        recs = jax.lax.dynamic_slice_in_dim(records, s0, k, axis=0)
-        recs = jnp.moveaxis(recs, 1, 0).reshape(max_depth, k * C)
+        # depth-major records: the per-bounce view is a free reshape
+        recs = jax.lax.dynamic_slice_in_dim(records, s0, k, axis=1)
+        recs = recs.reshape(max_depth, k * C)
         rad, nb = replay_mod.trace_replay(scene_, o, d, t, (seed, pix, samp),
                                           recs, max_depth, remat=True)
         return (rad.reshape(k, C, 3).sum(0),

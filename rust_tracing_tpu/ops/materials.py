@@ -82,8 +82,10 @@ def scatter_and_emit_c(scene, rngb, d_in_x, d_in_y, d_in_z,
     identical random streams.
     """
     dtype = d_in_x.dtype
-    mtype = scene.mat_type[mat_id]
-    tex_id = scene.mat_tex[mat_id]
+    # int lookups via tgather too — its TPU lowering avoids XLA's
+    # nondeterministic serial gather (ops/lanegather.py)
+    mtype = tgather(scene.mat_type, mat_id)
+    tex_id = tgather(scene.mat_tex, mat_id)
 
     uvx, uvy, uvz = rngb.unit_vector(hashrng.SITE_SCATTER_Z,
                                      hashrng.SITE_SCATTER_PHI)

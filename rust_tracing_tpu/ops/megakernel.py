@@ -489,7 +489,7 @@ def _turbulence(px, py, pz, depth=7):
 # ----------------------------------------------------------------- the kernel
 def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
                  img_dims, origin_eps_abs=1e-4,
-                 origin_eps_rel=2e-4, record_mode=False):
+                 origin_eps_rel=2e-4, record_mode=False, hit_mode=False):
     """Build the persistent path-regeneration kernel.
 
     dims: (S, Q, M, n_mat_chunks, n_tex_chunks, n_bvh_nodes)
@@ -498,6 +498,14 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
       (a scene's media kinds never change; keeps runtime branching out of the
       kernel, where Mosaic cannot legalize an scf.if over vector results).
     img_dims: (img_h, img_w, n_img_chunks) of the mipped image texture.
+
+    ``hit_mode`` (implies record semantics): a SINGLE-BOUNCE closest-hit
+    kernel over externally supplied rays — the search half of the sorted
+    deferred wavefront (ops/wavefront.py). Inputs are per-lane ray SoA blocks
+    (o, d, time, pixel, sample, alive); output is the packed winner record.
+    RNG addressing uses the riding (pixel, sample) ids + the bounce index
+    from the scalar array, so sorting/permuting lanes never changes any
+    random stream.
     """
     S, Q, M, CM, CT, NB = dims
     use_bvh, has_checker, has_noise, has_media, has_image = flags
@@ -516,11 +524,14 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
 
     def kernel(sph_f, sph_m, quad_f, quad_m, med_f, med_i,
                mat_tab, tex_tab, img_tab, bvh_f, bvh_i, prim_i, seed_ref,
-               *outs):
-        if record_mode:
-            (out_rec,) = outs
+               *rest):
+        if hit_mode:
+            (ox_in, oy_in, oz_in, dx_in, dy_in, dz_in, rt_in,
+             pid_in, samp_in, alive_in, out_rec) = rest
+        elif record_mode:
+            (out_rec,) = rest
         else:
-            out_r, out_g, out_b, out_n = outs
+            out_r, out_g, out_b, out_n = rest
         # SMEM tables arrive FLATTENED to 1-D: Mosaic pads 2-D SMEM rows to
         # 512 bytes, which blows the 1 MB SMEM budget at final_scene sizes.
         sphf = lambda i, k: sph_f[i * 8 + k]
@@ -530,31 +541,37 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
         bvhf = lambda i, k: bvh_f[i * 6 + k]
         bvhi = lambda i, k: bvh_i[i * 3 + k]
         primi = lambda i, k: prim_i[i * 2 + k]
-        # global tile id = grid position + this dispatch's tile offset (the
-        # host chunks heavy renders over several pallas_calls so no single
-        # device program runs past the runtime watchdog)
-        tile = pl.program_id(0) + seed_ref[1]
         seed_val = seed_ref[0]
-        # RUNTIME sample offset (seed_ref[2]): one compiled kernel serves any
-        # (tile-range, sample-range) shard — under shard_map every device
-        # derives its own offsets from its mesh coordinates (SPMD sharding of
-        # the megakernel; parallel/render_dist.py)
-        sample_offset = seed_ref[2]
-
-        lane = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
-                + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
-        # 32x32 block swizzle: coherent packets for the shared BVH walk
-        bx = (tile % nbx) * BLOCK
-        by = (tile // nbx) * BLOCK
-        px_i = jnp.minimum(bx + lane % BLOCK, width - 1)
-        px_j = jnp.minimum(by + lane // BLOCK, height - 1)
-        pid = px_j * width + px_i
-        pi = px_i.astype(jnp.float32)
-        pj = px_j.astype(jnp.float32)
-
         shape = (ROWS, LANES)
-        fzero = pi * 0.0  # concrete-layout zero (Mosaic carry requirement)
-        izero = pid * 0
+        if hit_mode:
+            pid = pid_in[...]
+            fzero = pid.astype(jnp.float32) * 0.0
+            izero = pid * 0
+        else:
+            # global tile id = grid position + this dispatch's tile offset
+            # (the host chunks heavy renders over several pallas_calls so no
+            # single device program runs past the runtime watchdog)
+            tile = pl.program_id(0) + seed_ref[1]
+            # RUNTIME sample offset (seed_ref[2]): one compiled kernel serves
+            # any (tile-range, sample-range) shard — under shard_map every
+            # device derives its own offsets from its mesh coordinates (SPMD
+            # sharding of the megakernel; parallel/render_dist.py)
+            sample_offset = seed_ref[2]
+
+            lane = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+                    * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+            # 32x32 block swizzle: coherent packets for the shared BVH walk
+            bx = (tile % nbx) * BLOCK
+            by = (tile // nbx) * BLOCK
+            px_i = jnp.minimum(bx + lane % BLOCK, width - 1)
+            px_j = jnp.minimum(by + lane // BLOCK, height - 1)
+            pid = px_j * width + px_i
+            pi = px_i.astype(jnp.float32)
+            pj = px_j.astype(jnp.float32)
+
+            fzero = pi * 0.0  # concrete-layout zero (Mosaic carry req.)
+            izero = pid * 0
 
         def tex_value(tid, hpx, hpy, hpz, tex_u, tex_v):
             """solid/checker/noise/image texture value at world point p
@@ -833,10 +850,18 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             hit_any = jnp.isfinite(t_best) & alive
             miss = alive & ~hit_any
 
-            # background on miss (renderer.rs:152-154)
-            rad_r = rad_r + jnp.where(miss, tp_r * bg_r, 0.0)
-            rad_g = rad_g + jnp.where(miss, tp_g * bg_g, 0.0)
-            rad_b = rad_b + jnp.where(miss, tp_b * bg_b, 0.0)
+            # Record mode is LEAN: records + path continuation never depend
+            # on texture values or radiance (winner ids come from geometry;
+            # scatter directions from geometry + RNG; the scattered flag from
+            # material type / fuzz only), so the whole texture/emission/
+            # throughput subgraph is skipped — the recorder runs at search
+            # speed even for image/noise scenes (the deferred-shading path
+            # replays those in full-fidelity XLA).
+            if not record_mode:
+                # background on miss (renderer.rs:152-154)
+                rad_r = rad_r + jnp.where(miss, tp_r * bg_r, 0.0)
+                rad_g = rad_g + jnp.where(miss, tp_g * bg_g, 0.0)
+                rad_b = rad_b + jnp.where(miss, tp_b * bg_b, 0.0)
 
             t_safe = jnp.where(hit_any, t_best, 0.0)
             hpx = ox + t_safe * dx
@@ -857,24 +882,8 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
 
             # -- material tables via chunked lane gathers
             m_type = _gather_table(mat_tab, 0, CM, w_mat)
-            m_tex = _gather_table(mat_tab, 1, CM, w_mat).astype(jnp.int32)
-            al_r = _gather_table(mat_tab, 2, CM, w_mat)
-            al_g = _gather_table(mat_tab, 3, CM, w_mat)
-            al_b = _gather_table(mat_tab, 4, CM, w_mat)
             fuzz = _gather_table(mat_tab, 5, CM, w_mat)
             ir = _gather_table(mat_tab, 6, CM, w_mat)
-
-            if has_image:
-                # sphere UV from the outward normal (sphere.rs:48-52):
-                # theta = acos(-n.y), phi = atan2(-n.z, n.x) + pi
-                theta = _arccos(-w_ny)
-                phi = _atan2(-w_nz, w_nx) + jnp.float32(math.pi)
-                tex_u = phi * jnp.float32(1.0 / _TWO_PI)
-                tex_v = theta * jnp.float32(1.0 / math.pi)
-            else:
-                tex_u = tex_v = fzero
-            tex_r, tex_g, tex_b = tex_value(m_tex, hpx, hpy, hpz,
-                                            tex_u, tex_v)
 
             is_lam = m_type == float(LAMBERTIAN)
             is_metal = m_type == float(METAL)
@@ -882,11 +891,28 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             is_light = m_type == float(DIFFUSE_LIGHT)
             is_iso = m_type == float(ISOTROPIC)
 
-            # emission (material.rs:114-122) — pre-scatter throughput
-            em = hit_any & is_light
-            rad_r = rad_r + jnp.where(em, tp_r * tex_r, 0.0)
-            rad_g = rad_g + jnp.where(em, tp_g * tex_g, 0.0)
-            rad_b = rad_b + jnp.where(em, tp_b * tex_b, 0.0)
+            if not record_mode:
+                m_tex = _gather_table(mat_tab, 1, CM, w_mat).astype(jnp.int32)
+                al_r = _gather_table(mat_tab, 2, CM, w_mat)
+                al_g = _gather_table(mat_tab, 3, CM, w_mat)
+                al_b = _gather_table(mat_tab, 4, CM, w_mat)
+                if has_image:
+                    # sphere UV from the outward normal (sphere.rs:48-52):
+                    # theta = acos(-n.y), phi = atan2(-n.z, n.x) + pi
+                    theta = _arccos(-w_ny)
+                    phi = _atan2(-w_nz, w_nx) + jnp.float32(math.pi)
+                    tex_u = phi * jnp.float32(1.0 / _TWO_PI)
+                    tex_v = theta * jnp.float32(1.0 / math.pi)
+                else:
+                    tex_u = tex_v = fzero
+                tex_r, tex_g, tex_b = tex_value(m_tex, hpx, hpy, hpz,
+                                                tex_u, tex_v)
+
+                # emission (material.rs:114-122) — pre-scatter throughput
+                em = hit_any & is_light
+                rad_r = rad_r + jnp.where(em, tp_r * tex_r, 0.0)
+                rad_g = rad_g + jnp.where(em, tp_g * tex_g, 0.0)
+                rad_b = rad_b + jnp.where(em, tp_b * tex_b, 0.0)
 
             # -- scatter
             uvx, uvy, uvz = rngb.unit_vector(hashrng.SITE_SCATTER_Z,
@@ -946,18 +972,21 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
                                jnp.where(is_iso, uvz, ldz_),
                                jnp.where(is_metal, mdz, ddz))
 
-            at_r = jnp.where(is_metal, al_r, jnp.where(is_diel, 1.0, tex_r))
-            at_g = jnp.where(is_metal, al_g, jnp.where(is_diel, 1.0, tex_g))
-            at_b = jnp.where(is_metal, al_b, jnp.where(is_diel, 1.0, tex_b))
-
             scattered = (is_metal & metal_ok) | (~is_metal & ~is_light)
             # depth budget: path dies when its (max_depth)th segment ends
             # (renderer.rs:140-142 — accumulated radiance stays, rest black)
             scat = hit_any & scattered & depth_left_ok
 
-            tp_r = jnp.where(scat, tp_r * at_r, tp_r)
-            tp_g = jnp.where(scat, tp_g * at_g, tp_g)
-            tp_b = jnp.where(scat, tp_b * at_b, tp_b)
+            if not record_mode:
+                at_r = jnp.where(is_metal, al_r,
+                                 jnp.where(is_diel, 1.0, tex_r))
+                at_g = jnp.where(is_metal, al_g,
+                                 jnp.where(is_diel, 1.0, tex_g))
+                at_b = jnp.where(is_metal, al_b,
+                                 jnp.where(is_diel, 1.0, tex_b))
+                tp_r = jnp.where(scat, tp_r * at_r, tp_r)
+                tp_g = jnp.where(scat, tp_g * at_g, tp_g)
+                tp_b = jnp.where(scat, tp_b * at_b, tp_b)
 
             # f32 origin offset (see ops/integrator.py), media excluded
             side = jnp.sign(new_dx * nx_ + new_dy * ny_ + new_dz * nz_)
@@ -982,32 +1011,43 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
             return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
                     rad_r, rad_g, rad_b, scat, rec)
 
+        if hit_mode:
+            # ---------- single-bounce closest hit over supplied rays
+            alive = alive_in[...] > 0.0
+            rngb = CounterRng(seed_val, pid, samp_in[...], seed_ref[1])
+            (_ox, _oy, _oz, _dx, _dy, _dz, _tr, _tg, _tb,
+             _rr, _rg, _rb, _scat, rec) = trace_bounce(
+                ox_in[...], oy_in[...], oz_in[...],
+                dx_in[...], dy_in[...], dz_in[...], rt_in[...],
+                fzero, fzero, fzero, fzero, fzero, fzero,
+                alive, True, rngb)
+            out_rec[...] = rec
+            return
+
         if record_mode:
             # ---------- lockstep recorder: per-(sample, bounce) winner ids
+            # (lean carry: no throughput/radiance — trace_bounce skips the
+            # whole shading subgraph in record mode)
             def sample_loop(si, _):
                 s_glob = si + sample_offset
                 nox, noy, noz, ndx, ndy, ndz, ntime = camera_ray(s_glob)
 
                 def depth_loop(di, dst):
-                    (ox, oy, oz, dx, dy, dz, rtime,
-                     tp_r, tp_g, tp_b, rad_r, rad_g, rad_b, alive_f) = dst
+                    (ox, oy, oz, dx, dy, dz, rtime, alive_f) = dst
                     alive = alive_f > 0.0
                     rngb = CounterRng(seed_val, pid, s_glob, di)
-                    (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                     rad_r, rad_g, rad_b, scat, rec) = trace_bounce(
+                    (ox, oy, oz, dx, dy, dz, _tp_r, _tp_g, _tp_b,
+                     _rad_r, _rad_g, _rad_b, scat, rec) = trace_bounce(
                         ox, oy, oz, dx, dy, dz, rtime,
-                        tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
+                        fzero, fzero, fzero, fzero, fzero, fzero,
                         alive, di + 1 < max_depth, rngb)
                     out_rec[pl.ds((si * max_depth + di) * ROWS, ROWS), :] = rec
                     return (ox, oy, oz, dx, dy, dz, rtime,
-                            tp_r, tp_g, tp_b, rad_r, rad_g, rad_b,
                             scat.astype(jnp.float32))
 
                 jax.lax.fori_loop(
                     0, max_depth, depth_loop,
-                    (nox, noy, noz, ndx, ndy, ndz, ntime,
-                     fzero + 1.0, fzero + 1.0, fzero + 1.0,
-                     fzero, fzero, fzero, fzero + 1.0))
+                    (nox, noy, noz, ndx, ndy, ndz, ntime, fzero + 1.0))
                 return _
 
             jax.lax.fori_loop(0, spp, sample_loop, jnp.int32(0))
@@ -1154,7 +1194,11 @@ def _get_call(cam, width, height, spp, max_depth, dims, flags, med_types,
     """Cached pallas_call for one static kernel configuration. ``jit=False``
     returns the raw (unjitted) callable for embedding inside shard_map;
     ``vma`` then names the mesh axes the outputs vary over (shard_map's
-    check_vma requires pallas out_shapes to declare it)."""
+    check_vma requires pallas out_shapes to declare it).
+
+    ``record_mode`` is False (render), True (path recorder), or "hit"
+    (single-bounce closest-hit over supplied ray blocks — ops/wavefront.py).
+    """
     key = (_cam_key(cam), width, height, spp, max_depth, dims, flags,
            med_types, img_dims, nt, record_mode, bool(interpret), bool(jit),
            vma)
@@ -1164,8 +1208,10 @@ def _get_call(cam, width, height, spp, max_depth, dims, flags, med_types,
         return fn
     while len(_call_cache) >= _CALL_CACHE_MAX:
         _call_cache.popitem(last=False)
+    hit_mode = record_mode == "hit"
     kernel = _make_kernel(cam, width, height, spp, max_depth, dims, flags,
-                          med_types, img_dims, record_mode=record_mode)
+                          med_types, img_dims, record_mode=bool(record_mode),
+                          hit_mode=hit_mode)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [smem(), smem(), smem(), smem(), smem(), smem(),
@@ -1173,7 +1219,13 @@ def _get_call(cam, width, height, spp, max_depth, dims, flags, med_types,
                 smem(), smem(), smem(), smem()]
     sds = (functools.partial(jax.ShapeDtypeStruct, vma=frozenset(vma))
            if vma is not None else jax.ShapeDtypeStruct)
-    if record_mode:
+    if hit_mode:
+        blk = lambda: pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+        in_specs += [blk() for _ in range(10)]
+        out_shape = [sds((nt * ROWS, LANES), jnp.int32)]
+        out_specs = [blk()]
+    elif record_mode:
         rows_per_tile = spp * max_depth * ROWS
         out_shape = [sds((nt * rows_per_tile, LANES), jnp.int32)]
         out_specs = [pl.BlockSpec((rows_per_tile, LANES), lambda i: (i, 0),
@@ -1455,12 +1507,44 @@ def _get_sharded_call(mesh, cam, width, height, spp_local, max_depth, dims,
     return fn
 
 
+def hit_kernel_call(scene, camera, n_rows: int, use_bvh: Optional[bool] = None,
+                    interpret: bool = False):
+    """(raw_fn, dev_args) for the single-bounce closest-hit kernel over
+    ``n_rows`` (multiple of ROWS) lane rows — the search half of the sorted
+    deferred wavefront (ops/wavefront.py).
+
+    Call as ``fn(*dev_args, seed_scal, ox, oy, oz, dx, dy, dz, time, pid,
+    samp, alive)`` with (n_rows, LANES) blocks (pid/samp int32, alive f32,
+    rest f32) and ``seed_scal = [seed, bounce_index, 0] int32``; returns
+    ``[(n_rows, LANES) int32]`` packed winner records (ops/replay.py
+    encoding). The call is raw (unjitted) so it embeds in a jitted step.
+    """
+    n_prims = int(np.asarray(scene.sph_valid).sum()
+                  + np.asarray(scene.quad_valid).sum())
+    if use_bvh is None:
+        use_bvh = n_prims >= BVH_KERNEL_THRESHOLD
+    packed, dev_args, use_bvh = _packed_dev(scene, use_bvh)
+    S, Q, M = packed.n_spheres, packed.n_quads, packed.n_media
+    dims = (S, Q, M, packed.n_mat_chunks, packed.n_tex_chunks,
+            packed.bvh_i.shape[0])
+    flags = (use_bvh, packed.has_checker, packed.has_noise, M > 0,
+             packed.has_image)
+    med_types = tuple(int(t) for t in packed.med_i[:M, 0])
+    img_dims = (packed.img_h, packed.img_w, packed.img_tab.shape[1])
+    assert n_rows % ROWS == 0
+    fn = _get_call(camera, camera.image_width, camera.image_height, 1, 1,
+                   dims, flags, med_types, img_dims, n_rows // ROWS,
+                   "hit", interpret, jit=False)
+    return fn, dev_args
+
+
 def record_paths(scene, camera, seed: int, spp: int, max_depth: int,
                  sample_offset: int = 0, use_bvh: Optional[bool] = None,
                  interpret: bool = False) -> np.ndarray:
     """Record the per-bounce hit winners for every (pixel, sample, bounce):
     the FAST half of the record/replay differentiable pipeline
-    (ops/replay.py). Returns (spp, max_depth, H*W) packed int32 records.
+    (ops/replay.py). Returns (max_depth, spp, H*W) packed int32 records
+    (depth-major — replay consumes bounce rows).
 
     The recorder runs the same intersection/shading program as render_fast
     (shared trace_bounce) in lockstep (sample, bounce) order so records land
@@ -1514,8 +1598,10 @@ def _record_unswizzle_fn(w: int, h: int, nbx: int, nby: int, spp: int,
     @jax.jit
     def go(rec):
         r = rec.reshape(nby, nbx, spp, max_depth, BLOCK, BLOCK)
-        img = r.transpose(2, 3, 0, 4, 1, 5).reshape(
-            spp, max_depth, nby * BLOCK, nbx * BLOCK)[:, :, :h, :w]
-        return img.reshape(spp, max_depth, h * w)
+        # DEPTH-MAJOR output (replay.records_xla layout): the replay scan's
+        # per-bounce record rows are then a free reshape, never a transpose
+        img = r.transpose(3, 2, 0, 4, 1, 5).reshape(
+            max_depth, spp, nby * BLOCK, nbx * BLOCK)[:, :, :h, :w]
+        return img.reshape(max_depth, spp, h * w)
 
     return go

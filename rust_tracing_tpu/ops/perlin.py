@@ -45,17 +45,20 @@ def noise_c(ranvec, perm_x, perm_y, perm_z, px, py, pz):
     sz = uz * uz * (3.0 - 2.0 * uz)
     rx, ry, rz = ranvec[:, 0], ranvec[:, 1], ranvec[:, 2]
 
+    # permutation lookups via tgather too: its TPU lowering is the Pallas
+    # lane gather — XLA's own gather nondeterministically serializes here
+    # (ops/lanegather.py), which made one octave cost 60 ms at 262k lanes
+    hxs = [tgather(perm_x, (ix + di) & 255) for di in (0, 1)]
+    hys = [tgather(perm_y, (iy + dj) & 255) for dj in (0, 1)]
+    hzs = [tgather(perm_z, (iz + dk) & 255) for dk in (0, 1)]
     acc = jnp.zeros_like(px)
     for di in (0, 1):
-        hx = perm_x[(ix + di) & 255]
         wx = jnp.where(di == 1, sx, 1.0 - sx)
         for dj in (0, 1):
-            hy = perm_y[(iy + dj) & 255]
             wy = jnp.where(dj == 1, sy, 1.0 - sy)
             for dk in (0, 1):
-                hz = perm_z[(iz + dk) & 255]
                 wz = jnp.where(dk == 1, sz, 1.0 - sz)
-                h = hx ^ hy ^ hz  # perlin.rs:41-44
+                h = hxs[di] ^ hys[dj] ^ hzs[dk]  # perlin.rs:41-44
                 dot = (tgather(rx, h) * (ux - di) + tgather(ry, h) * (uy - dj)
                        + tgather(rz, h) * (uz - dk))
                 acc = acc + wx * wy * wz * dot

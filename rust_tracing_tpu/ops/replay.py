@@ -280,10 +280,11 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
 
     u = jnp.where(is_sph, sph_u, jnp.where(is_quad, alpha, 0.0))
     v = jnp.where(is_sph, sph_v, jnp.where(is_quad, beta, 0.0))
-    mat_sph = scene.sph_mat[i_sph] if scene.has_spheres else i_sph
-    mat_quad = scene.quad_mat[i_quad] if scene.has_quads else i_quad
+    # int lookups via tgather (Pallas lane gather on TPU; ops/lanegather.py)
+    mat_sph = tgather(scene.sph_mat, i_sph) if scene.has_spheres else i_sph
+    mat_quad = tgather(scene.quad_mat, i_quad) if scene.has_quads else i_quad
     mat_id = jnp.where(
-        is_med, scene.med_mat[med_idx],
+        is_med, tgather(scene.med_mat, med_idx),
         jnp.where(is_sph, mat_sph, mat_quad),
     ).astype(jnp.int32)
 
@@ -339,7 +340,7 @@ def _medium_t_c(scene, ox, oy, oz, dx, dy, dz, a, rngb, med_idx):
     sq = intersect._safe_sqrt(disc, disc > 0)
     s_entry = intersect._safe_div(-half_b - sq, a)
 
-    is_box = scene.med_type[med_idx] == 1
+    is_box = tgather(scene.med_type, med_idx) == 1
     entry = jnp.maximum(jnp.where(is_box, b_entry, s_entry),
                         jnp.asarray(T_MIN, ox.dtype))
 
@@ -354,6 +355,53 @@ def _medium_t_c(scene, ox, oy, oz, dx, dy, dz, a, rngb, med_idx):
     u = jnp.maximum(u, 1e-12).astype(ox.dtype)
     hd = tgather(scene.med_neg_inv_density, med_idx) * jnp.log(u)
     return entry + hd / jnp.maximum(ray_len, 1e-30)
+
+
+def bounce_c(scene, rngb, rec, ox, oy, oz, dx, dy, dz, time,
+             tr, tg, tb, rr, rg, rb, alive):
+    """One replay bounce in component form: reconstruct the recorded winner,
+    shade, advance the path. Shared by the bounce scan (:func:`trace_replay`)
+    and the sorted-wavefront renderer (ops/wavefront.py) — ONE definition so
+    both paths are bitwise-identical per lane.
+
+    Returns (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, scat) where
+    ``scat`` is the lane's aliveness after this bounce.
+    """
+    h = hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb, rec)
+
+    miss = alive & ~h.hit
+    bg_r, bg_g, bg_b = (scene.background[0], scene.background[1],
+                        scene.background[2])
+    rr = rr + jnp.where(miss, tr * bg_r, 0.0)
+    rg = rg + jnp.where(miss, tg * bg_g, 0.0)
+    rb = rb + jnp.where(miss, tb * bg_b, 0.0)
+
+    s = scatter_and_emit_c(scene, rngb, dx, dy, dz,
+                           h.nx, h.ny, h.nz, h.front_face, h.mat_id,
+                           h.u, h.v, h.px, h.py, h.pz)
+    live_hit = alive & h.hit
+    rr = rr + jnp.where(live_hit, tr * s.er, 0.0)
+    rg = rg + jnp.where(live_hit, tg * s.eg, 0.0)
+    rb = rb + jnp.where(live_hit, tb * s.eb, 0.0)
+
+    scat = live_hit & s.scattered
+    tr = jnp.where(scat, tr * s.ar, tr)
+    tg = jnp.where(scat, tg * s.ag, tg)
+    tb = jnp.where(scat, tb * s.ab, tb)
+
+    # f32 origin offset (see ops/integrator.py), media excluded
+    side = jnp.sign(s.dx * h.nx + s.dy * h.ny + s.dz * h.nz)
+    scale = jnp.maximum(jnp.abs(h.px),
+                        jnp.maximum(jnp.abs(h.py), jnp.abs(h.pz)))
+    eps = 1e-4 + 2e-4 * scale
+    off = jnp.where(h.is_surface, side * eps, 0.0)
+    ox = jnp.where(scat, h.px + off * h.nx, ox)
+    oy = jnp.where(scat, h.py + off * h.ny, oy)
+    oz = jnp.where(scat, h.pz + off * h.nz, oz)
+    dx = jnp.where(scat, s.dx, dx)
+    dy = jnp.where(scat, s.dy, dy)
+    dz = jnp.where(scat, s.dz, dz)
+    return ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, scat
 
 
 def trace_replay(scene, origin, direction, time, rng_idx, records,
@@ -386,49 +434,14 @@ def trace_replay(scene, origin, direction, time, rng_idx, records,
             time < jnp.inf,  # alive
             jnp.zeros_like(time, dtype=jnp.int32))  # bounce counter
 
-    bg_r = scene.background[0]
-    bg_g = scene.background[1]
-    bg_b = scene.background[2]
-
     def step(carry, xs):
         depth_i, rec = xs
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive, nb) = carry
         rngb = hashrng.CounterRng(seed, pixel_ids, sample, depth_i)
-
-        h = hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb, rec)
         nb = nb + alive.astype(jnp.int32)
-
-        miss = alive & ~h.hit
-        rr = rr + jnp.where(miss, tr * bg_r, 0.0)
-        rg = rg + jnp.where(miss, tg * bg_g, 0.0)
-        rb = rb + jnp.where(miss, tb * bg_b, 0.0)
-
-        s = scatter_and_emit_c(scene, rngb, dx, dy, dz,
-                               h.nx, h.ny, h.nz, h.front_face, h.mat_id,
-                               h.u, h.v, h.px, h.py, h.pz)
-        live_hit = alive & h.hit
-        rr = rr + jnp.where(live_hit, tr * s.er, 0.0)
-        rg = rg + jnp.where(live_hit, tg * s.eg, 0.0)
-        rb = rb + jnp.where(live_hit, tb * s.eb, 0.0)
-
-        scat = live_hit & s.scattered
-        tr = jnp.where(scat, tr * s.ar, tr)
-        tg = jnp.where(scat, tg * s.ag, tg)
-        tb = jnp.where(scat, tb * s.ab, tb)
-
-        # f32 origin offset (see ops/integrator.py), media excluded
-        side = jnp.sign(s.dx * h.nx + s.dy * h.ny + s.dz * h.nz)
-        scale = jnp.maximum(jnp.abs(h.px),
-                            jnp.maximum(jnp.abs(h.py), jnp.abs(h.pz)))
-        eps = 1e-4 + 2e-4 * scale
-        off = jnp.where(h.is_surface, side * eps, 0.0)
-        ox = jnp.where(scat, h.px + off * h.nx, ox)
-        oy = jnp.where(scat, h.py + off * h.ny, oy)
-        oz = jnp.where(scat, h.pz + off * h.nz, oz)
-        dx = jnp.where(scat, s.dx, dx)
-        dy = jnp.where(scat, s.dy, dy)
-        dz = jnp.where(scat, s.dz, dz)
-        alive = scat
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = bounce_c(
+            scene, rngb, rec, ox, oy, oz, dx, dy, dz, time,
+            tr, tg, tb, rr, rg, rb, alive)
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive,
                 nb), None
 
@@ -442,16 +455,28 @@ def trace_replay(scene, origin, direction, time, rng_idx, records,
         step_fn = jax.checkpoint(step, policy=policy)
     else:
         step_fn = step
-    carry, _ = jax.lax.scan(step_fn, init, (depths, records))
+    # UNROLL the bounce scan: a rolled scan materializes the full 14-lane
+    # carry through HBM at every bounce boundary, which dominates the replay
+    # wall-time. Unrolling lets XLA fuse across bounces (measured on v5e,
+    # cornell 600x600@8spp d8: fwd 231 -> 919 Mrays/s, fwd+bwd 144 -> 388
+    # at unroll=8). Capped so final_scene's depth-40 graph stays compilable;
+    # per-step jax.checkpoint semantics (and numerics) are unchanged.
+    carry, _ = jax.lax.scan(step_fn, init, (depths, records),
+                            unroll=min(max_depth, 8))
     rr, rg, rb, nb = carry[9], carry[10], carry[11], carry[13]
     return jnp.stack([rr, rg, rb], axis=-1), nb
 
 
 def records_xla(scene, cam, pixel_ids, seed, spp: int, max_depth: int,
                 hit_fn=None, sample_offset: int = 0):
-    """(spp, max_depth, R) records via the XLA search — the CPU fallback and
+    """(max_depth, spp, R) records via the XLA search — the CPU fallback and
     the oracle the kernel recorder is tested against. Covers global samples
-    ``sample_offset .. sample_offset + spp``."""
+    ``sample_offset .. sample_offset + spp``.
+
+    DEPTH-MAJOR layout: the replay scan consumes one bounce row per step, so
+    a (depth, spp*R) view is a free reshape — no runtime transpose of the
+    multi-hundred-MB record volume (measured 1.5x on the whole fwd+bwd when
+    the transpose sat inside the jit)."""
     from ..camera import get_rays
 
     def per_sample(s):
@@ -481,4 +506,4 @@ def records_xla(scene, cam, pixel_ids, seed, spp: int, max_depth: int,
         _, recs = jax.lax.scan(step, (o, d, t < jnp.inf), depths)
         return recs  # (max_depth, R)
 
-    return jnp.stack([per_sample(s) for s in range(spp)])
+    return jnp.stack([per_sample(s) for s in range(spp)], axis=1)

@@ -14,6 +14,7 @@ memory/bandwidth waste, so the hot wavefront paths never materialize
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.scene import TEX_CHECKER, TEX_IMAGE, TEX_NOISE
@@ -27,7 +28,7 @@ def _leaf_value_c(scene, tid, u, v, px, py, pz, turb=None):
     r = tgather(scene.tex_rgb[:, 0], tid)
     g = tgather(scene.tex_rgb[:, 1], tid)
     b = tgather(scene.tex_rgb[:, 2], tid)
-    ttype = scene.tex_type[tid]
+    ttype = tgather(scene.tex_type, tid)
 
     if scene.has_image:
         # Nearest-neighbor, u clamp, v flip, gamma-decoded at load
@@ -37,12 +38,18 @@ def _leaf_value_c(scene, tid, u, v, px, py, pz, turb=None):
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)
         i = (uc * (w - 1)).astype(jnp.int32)
         j = (vc * (h - 1)).astype(jnp.int32)
-        lin = j * w + i
-        flat = scene.image.reshape(-1, 3)
+        # ONE row gather of the (H*W, 3) image, isolated by optimization
+        # barriers: the table is far past the lane-gather cap, and fusing
+        # this gather risks XLA's serial scalar-core lowering
+        # (ops/lanegather.py); isolated row gathers take the fast path.
+        lin = jax.lax.optimization_barrier(j * w + i)
+        texel = scene.image.reshape(-1, 3)[lin]
+        tr, tg, tb = (jax.lax.optimization_barrier(texel[:, c])
+                      for c in range(3))
         is_img = ttype == TEX_IMAGE
-        r = jnp.where(is_img, tgather(flat[:, 0], lin), r)
-        g = jnp.where(is_img, tgather(flat[:, 1], lin), g)
-        b = jnp.where(is_img, tgather(flat[:, 2], lin), b)
+        r = jnp.where(is_img, tr, r)
+        g = jnp.where(is_img, tg, g)
+        b = jnp.where(is_img, tb, b)
 
     if scene.has_noise:
         # Marble: sin(scale*z + 10*turbulence(p,7))*0.5+0.5 (texture.rs:107-111).
@@ -73,11 +80,11 @@ def texture_value_c(scene, tid, u, v, px, py, pz):
                 + jnp.floor(inv * py).astype(jnp.int32)
                 + jnp.floor(inv * pz).astype(jnp.int32))
         is_even = fsum % 2 == 0
-        er, eg, eb = _leaf_value_c(scene, scene.tex_even[tid], u, v,
+        er, eg, eb = _leaf_value_c(scene, tgather(scene.tex_even, tid), u, v,
                                    px, py, pz, turb)
-        orr, og, ob = _leaf_value_c(scene, scene.tex_odd[tid], u, v,
+        orr, og, ob = _leaf_value_c(scene, tgather(scene.tex_odd, tid), u, v,
                                     px, py, pz, turb)
-        is_chk = scene.tex_type[tid] == TEX_CHECKER
+        is_chk = tgather(scene.tex_type, tid) == TEX_CHECKER
         r = jnp.where(is_chk, jnp.where(is_even, er, orr), r)
         g = jnp.where(is_chk, jnp.where(is_even, eg, og), g)
         b = jnp.where(is_chk, jnp.where(is_even, eb, ob), b)

@@ -128,8 +128,9 @@ def _get_core(mesh, camera, width, height, spp, max_depth,
             (rec_raw,) = raw_rec(*dev_args, scal)
             recs = rec_raw.reshape(nt_dev, spp_local, max_depth, mk.ROWS,
                                    mk.LANES)
-            recs = recs.transpose(1, 2, 0, 3, 4).reshape(
-                spp_local, max_depth, nt_dev * mk.TILE)
+            # depth-major (replay layout): bounce rows are a free reshape
+            recs = recs.transpose(2, 1, 0, 3, 4).reshape(
+                max_depth, spp_local, nt_dev * mk.TILE)
         else:
             # in-shard XLA search (CPU meshes / unsupported scenes): the
             # sample_offset rides as a traced scalar, so one trace serves
@@ -149,7 +150,7 @@ def _get_core(mesh, camera, width, height, spp, max_depth,
             samp = sample_base + jnp.repeat(
                 jnp.arange(k, dtype=jnp.int32), n_local)
             o, d, t = get_rays(cam, seed, pix, samp)
-            r2 = jnp.moveaxis(recs, 1, 0).reshape(max_depth, k * n_local)
+            r2 = recs.reshape(max_depth, k * n_local)
             rad, nb = replay_mod.trace_replay(scene_, o, d, t,
                                               (seed, pix, samp), r2,
                                               max_depth, remat=True)

@@ -132,6 +132,83 @@ def use_megakernel_default(scene, dtype, hit_fn) -> bool:
     )
 
 
+def use_wavefront_default(scene) -> bool:
+    """Big scenes take the sorted deferred wavefront (ops/wavefront.py): at
+    final_scene's primitive count the fused kernel's lockstep packet walk
+    degrades to brute-force cost; the per-bounce coherence sort restores the
+    tree's pruning (see WAVEFRONT_PRIM_THRESHOLD)."""
+    from .ops.wavefront import WAVEFRONT_PRIM_THRESHOLD
+
+    n_prims = int(np.asarray(scene.sph_valid).sum()
+                  + np.asarray(scene.quad_valid).sum())
+    return n_prims >= WAVEFRONT_PRIM_THRESHOLD
+
+
+def use_deferred_default(scene) -> bool:
+    """Deferred shading (record + XLA replay) is the production path for the
+    scene families where in-kernel shading approximates: image textures (the
+    kernel samples a mip; replay samples FULL RESOLUTION) and noise (the
+    kernel's hash-lattice is a different random instance; replay uses the
+    exact Perlin tables). The estimator equals the XLA wavefront BITWISE
+    (replay==direct, tests/test_replay.py) at megakernel search speed."""
+    return scene.has_image or scene.has_noise
+
+
+def render_deferred(scene, camera: Camera, seed: int = 0,
+                    spp: Optional[int] = None,
+                    max_depth: Optional[int] = None, sample_offset: int = 0,
+                    interpret: bool = False,
+                    ) -> Tuple[np.ndarray, "RenderStats"]:
+    """Deferred-shading render: the Pallas megakernel runs in lean RECORD
+    mode (geometry search + path continuation only — no texture/radiance
+    work), then the recorded winners are SHADED by the XLA replay pass
+    (ops/replay.trace_replay) at full fidelity — full-resolution image
+    textures, the exact Perlin table instance, f32 XLA arithmetic.
+
+    Output is bitwise equal to the direct XLA estimator
+    (grad.radiance_mean_rays) — the records are proven identical to the XLA
+    search and replay==direct is asserted bitwise in tests — while the
+    expensive (rays x prims) search runs at megakernel speed.
+
+    spp is sliced so one slice's records stay under grad.RECORD_BUDGET_ENTRIES
+    (the record volume never exceeds ~256 MB on device).
+    """
+    import time as __time
+
+    from . import grad as grad_mod
+    from .ops import megakernel as mk
+
+    spp = spp or camera.samples_per_pixel
+    max_depth = max_depth or camera.max_depth
+    w, h = camera.image_width, camera.image_height
+    n_pix = w * h
+    cam = camera.constants(jnp.float32)
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    seed_arr = jnp.uint32(seed)
+    spp_chunk = max(1, min(
+        spp, grad_mod.RECORD_BUDGET_ENTRIES // (max_depth * n_pix)))
+
+    t0 = __time.perf_counter()
+    acc = jnp.zeros((n_pix, 3), jnp.float32)
+    rays = 0.0
+    for c0 in range(0, spp, spp_chunk):
+        k = min(spp_chunk, spp - c0)
+        recs = mk.record_paths(scene, camera, seed, k, max_depth,
+                               sample_offset=sample_offset + c0,
+                               interpret=interpret)
+        m, nb = grad_mod.radiance_mean_replay_rays(
+            scene, cam, pixel_ids, seed_arr, recs, k, max_depth,
+            sample_base=jnp.int32(sample_offset + c0))
+        acc = acc + m * (k / spp)
+        rays += float(nb)
+    image = np.asarray(acc, np.float64).reshape(h, w, 3)
+    stats = RenderStats(seconds=__time.perf_counter() - t0, rays=int(rays))
+    metrics.emit("render", path="deferred", spp=spp, width=w, height=h,
+                 seconds=stats.seconds, rays=stats.rays,
+                 rays_per_sec=stats.rays_per_sec)
+    return image, stats
+
+
 def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
            max_depth: Optional[int] = None, pixel_chunk: Optional[int] = None,
            hit_fn=None, dtype=jnp.float32, progress=None,
@@ -149,6 +226,21 @@ def render(scene, camera: Camera, seed: int = 0, spp: Optional[int] = None,
 
     if use_megakernel is None:
         use_megakernel = use_megakernel_default(scene, dtype, hit_fn)
+        if use_megakernel and use_wavefront_default(scene):
+            # big scenes: sorted deferred wavefront — coherence-restoring
+            # per-bounce sort + packet-BVH hit kernel + XLA replay shading
+            from .ops import wavefront
+
+            return wavefront.render_sorted(scene, camera, seed=seed, spp=spp,
+                                           max_depth=max_depth,
+                                           sample_offset=sample_offset)
+        if use_megakernel and use_deferred_default(scene):
+            # image/noise scenes: kernel search + full-fidelity XLA shading
+            # (auto policy only — an explicit use_megakernel=True forces the
+            # fully-fused kernel, e.g. for parity measurements)
+            return render_deferred(scene, camera, seed=seed, spp=spp,
+                                   max_depth=max_depth,
+                                   sample_offset=sample_offset)
     if use_megakernel:
         from .ops import megakernel
 

@@ -50,7 +50,7 @@ def main():
     pix = jnp.tile(pixel_ids, SPP)
     samp = jnp.repeat(jnp.arange(SPP, dtype=jnp.int32), n_pix)
     o, d, t = get_rays(cam, seed, pix, samp)
-    recs_flat = jnp.moveaxis(recs, 1, 0).reshape(DEPTH, SPP * n_pix)
+    recs_flat = jnp.asarray(recs).reshape(DEPTH, SPP * n_pix)  # depth-major
 
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     is_diff = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]

@@ -188,3 +188,31 @@ def test_image_on_quad_unsupported():
     img_auto, _ = render(scene, cam)
     img_xla, _ = render(scene, cam, use_megakernel=False)
     np.testing.assert_array_equal(np.asarray(img_auto), np.asarray(img_xla))
+
+
+def test_deferred_render_bitwise_equals_direct():
+    """Deferred shading (lean kernel recorder + XLA replay) must equal the
+    DIRECT XLA estimator bitwise — including full-resolution image textures
+    and the exact Perlin table instance, the two families the fused kernel
+    only approximates."""
+    from rust_tracing_tpu import grad as grad_mod
+    from rust_tracing_tpu.renderer import render_deferred
+
+    img8 = (np.arange(8 * 16 * 3).reshape(8, 16, 3) * 11 % 256).astype(
+        np.uint8)
+    b = SceneBuilder(background=(0.5, 0.6, 0.9))
+    b.add_sphere((0, 0, 2), 1.0, b.lambertian(b.image_texture(img8)))
+    b.add_sphere((0, -101, 2), 100.0, b.lambertian(b.noise_texture(2.0)))
+    scene = compile_scene(b)
+    cam = Camera.create(RenderSettings(
+        image_width=24, aspect_ratio=1.0, samples_per_pixel=4, max_depth=3,
+        vfov=60.0, look_from=(0, 0, 0), look_at=(0, 0, 2),
+        background=(0.5, 0.6, 0.9)))
+    img_d, stats = render_deferred(scene, cam, seed=3, interpret=True)
+
+    pid = jnp.arange(24 * 24, dtype=jnp.int32)
+    direct, nr = grad_mod.radiance_mean_rays(
+        scene, cam.constants(jnp.float32), pid, jnp.uint32(3), 4, 3)
+    np.testing.assert_array_equal(
+        np.asarray(img_d, np.float32).reshape(-1, 3), np.asarray(direct))
+    assert stats.rays == int(float(nr))
