@@ -37,6 +37,11 @@ TILE = ROWS * LANES
 # beyond this table size the chunk loop stops paying vs even the serial XLA
 # gather (ceil(N/128) masked selects per lane ~= 3*N/128 lane-ops)
 LANE_GATHER_MAX_N = 8192
+# at or below this table size XLA's own gather stays fast and FUSES; a
+# separate pallas dispatch per lookup regressed the cornell replay contract
+# 186 -> 93 Mrays/s (its mat/tex tables are all <= 64 rows). The serial
+# pathology was only observed from 256 rows (perlin) up (prim tables).
+LANE_GATHER_MIN_N = 65
 # below this many indices the dispatch overhead dominates; XLA's gather is
 # fine at small sizes
 LANE_GATHER_MIN_R = 4096
@@ -69,7 +74,8 @@ def _get_call(C: int, n_tiles: int, dtype_name: str):
 
 
 def supported(n: int, r: int) -> bool:
-    return n <= LANE_GATHER_MAX_N and r >= LANE_GATHER_MIN_R
+    return (LANE_GATHER_MIN_N <= n <= LANE_GATHER_MAX_N
+            and r >= LANE_GATHER_MIN_R)
 
 
 def lane_gather(col, idx):

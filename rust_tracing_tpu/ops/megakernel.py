@@ -250,11 +250,12 @@ class _KernelBVH:
     prim_stream: np.ndarray  # (P,2) ptype pidx in leaf order
 
 
-def build_kernel_bvh(scene, leaf_size: int = 16, seed: int = 0,
+def build_kernel_bvh(scene, leaf_size: Optional[int] = None, seed: int = 0,
                      axis_mode: str = "largest") -> Optional[_KernelBVH]:
     """Median-split BVH flattened with leaf RUNS: leaves hold up to
     ``leaf_size`` primitives stored contiguously in a reordered stream, so
-    the kernel tests them with one dynamic-bound loop.
+    the kernel tests them with one dynamic-bound loop. ``leaf_size`` defaults
+    to 16 (RT_BVH_LEAF overrides, for crossover sweeps).
 
     The reference picks a RANDOM split axis (bvh.rs:32); that is a tree-
     quality decision, not a semantics one — traversal results are identical
@@ -262,7 +263,12 @@ def build_kernel_bvh(scene, leaf_size: int = 16, seed: int = 0,
     tighter sibling boxes (measured: fewer leaves pass the whole-tile AABB
     test), so that is the default; ``axis_mode='random'`` reproduces the
     reference's build order."""
+    import os
+
     from ..models import bvh as bvh_mod
+
+    if leaf_size is None:
+        leaf_size = int(os.environ.get("RT_BVH_LEAF", "16"))
 
     sv = np.asarray(scene.sph_valid)
     qv = np.asarray(scene.quad_valid)

@@ -61,7 +61,11 @@ WAVEFRONT_LANE_BUDGET = 1 << 22
 WAVEFRONT_PRIM_THRESHOLD = 1024
 
 # Compact (drop the dead tail) when the live fraction falls below this.
-COMPACT_BELOW = 0.5
+# Buffer sizes shrink in /4 steps so each chunk compiles at most ~4 hit
+# kernel + step sizes (a final_scene hit-kernel compile is ~1 min; pow2
+# halving burned >8 compiles on the first render).
+COMPACT_BELOW = 0.2
+COMPACT_STEP = 4
 
 
 def _spread3(x):
@@ -123,7 +127,28 @@ def _scene_bounds(scene) -> Tuple[np.ndarray, np.ndarray]:
 _N_STATE = 17
 
 
-@functools.lru_cache(maxsize=64)
+def _permute_state(key, state):
+    """Reorder the whole lane state by ``key``: a 2-operand sort yields the
+    permutation, then ONE row gather of the (R, 17) packed state moves the
+    data. (An 18-operand lax.sort made XLA inline the payload moves into the
+    bitonic network — the step took >9 min to COMPILE; 17 per-element
+    gathers hit the serial-gather path. A row gather does R element-loops of
+    68 B each — the cheap middle ground.) Integer lanes ride as f32: pixel,
+    sample, and lane ids are all < 2^24, exactly representable."""
+    R = key.shape[0]
+    perm = jnp.argsort(key)
+    packed = jnp.stack(
+        [state[0].astype(jnp.float32), state[1].astype(jnp.float32),
+         state[2].astype(jnp.float32)] + list(state[3:16])
+        + [state[16].astype(jnp.float32)], axis=1)
+    packed = packed[perm]
+    out = ([packed[:, c].astype(jnp.int32) for c in range(3)]
+           + [packed[:, 3 + c] for c in range(13)]
+           + [packed[:, 16] > 0.0])
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=96)
 def _get_step(treedef, hit_fn, n_rows, lo_t, inv_t, sort: bool):
     """One cached jitted wavefront bounce: sort -> pallas hit -> XLA shade.
     Keyed on the (config, buffer size) so repeated renders and compaction
@@ -134,10 +159,7 @@ def _get_step(treedef, hit_fn, n_rows, lo_t, inv_t, sort: bool):
         if sort:
             key = _sort_key(state[3], state[4], state[5], state[6], state[7],
                             state[8], state[16], lo_t, inv_t)
-            # lax.sort with the state as payloads: permutes by MOVING data
-            # with the sort network — no one-element gathers (serial risk)
-            sorted_ = jax.lax.sort((key,) + state, num_keys=1)
-            state = sorted_[1:]
+            state = _permute_state(key, state)
         (pix, samp, orig, ox, oy, oz, dx, dy, dz, rtime,
          tr, tg, tb, rr, rg, rb, alive) = state
 
@@ -186,7 +208,7 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
                   spp: Optional[int] = None, max_depth: Optional[int] = None,
                   sort: bool = True, interpret: bool = False,
                   sample_offset: int = 0, use_bvh: Optional[bool] = None,
-                  exact: Optional[bool] = None):
+                  exact: Optional[bool] = None, sort_every: int = 1):
     """Sorted deferred wavefront render -> ((H, W, 3) float64 linear image,
     RenderStats).
 
@@ -206,6 +228,13 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
     cam = camera.constants(jnp.float32)
     seed_arr = jnp.uint32(seed)
     k = max(1, min(spp, WAVEFRONT_LANE_BUDGET // n_pix))
+    # prefer a divisor of spp so every chunk shares ONE buffer size (a
+    # different tail-chunk size recompiles the hit kernel + step, minutes)
+    for d in range(k, 0, -1):
+        if spp % d == 0:
+            if d >= max(1, k // 2):
+                k = d
+            break
     if exact is None:
         exact = max_depth <= 8 and spp * n_pix <= WAVEFRONT_LANE_BUDGET
     lo, inv_ext = _scene_bounds(scene)
@@ -253,11 +282,25 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
         cur_rows = n_rows
         hit_fn, dev_args = get_hit(cur_rows)
         step = _get_step(treedef, hit_fn, cur_rows, lo_t, inv_t, sort)
+        step_ns = (_get_step(treedef, hit_fn, cur_rows, lo_t, inv_t, False)
+                   if sort and sort_every > 1 else step)
+        import os
+        debug = bool(os.environ.get("RT_WF_DEBUG"))
         for depth_i in range(max_depth):
-            out = step(leaves, dev_args, seed_arr, jnp.int32(depth_i),
+            s_fn = step if depth_i % sort_every == 0 else step_ns
+            out = s_fn(leaves, dev_args, seed_arr, jnp.int32(depth_i),
                        nrays, *state)
             nrays, n_alive, state = out[0], out[1], out[2:]
+            # host sync (~24 ms tunnel round trip) only every 4th bounce:
+            # pulling the live count per bounce cost ~70% of the whole
+            # final_scene wall time; between pulls the bounces pipeline
+            if (depth_i + 1) % 4 and depth_i + 1 < max_depth:
+                continue
             na = int(n_alive)
+            if debug:
+                print(f"  wf c0={c0} bounce={depth_i} rows={cur_rows} "
+                      f"alive={na} t={_time.perf_counter() - t0:.1f}s",
+                      flush=True)
             if na == 0:
                 break
             cur_lanes = cur_rows * mk.LANES
@@ -268,15 +311,14 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
                 # smaller buffer (live lanes are a prefix after the sort)
                 key = _sort_key(state[3], state[4], state[5], state[6],
                                 state[7], state[8], state[16], lo_t, inv_t)
-                sorted_ = jax.lax.sort((key,) + state, num_keys=1)
-                state = sorted_[1:]
-                new_rows = max(mk.ROWS, -(-na // mk.TILE) * mk.TILE
-                               // mk.LANES)
-                # pow2-ish bucket so step compilations stay bounded
-                b = mk.ROWS
-                while b < new_rows:
-                    b *= 2
-                new_rows = min(b, cur_rows)
+                state = jax.jit(_permute_state)(key, state)
+                # /4-step buckets so compilations stay bounded: shrink while
+                # the live set fits in the next bucket down
+                new_rows = cur_rows
+                while (new_rows > mk.ROWS
+                       and na <= (new_rows // COMPACT_STEP) * mk.LANES):
+                    new_rows = new_rows // COMPACT_STEP
+                new_rows = max(mk.ROWS, -(-new_rows // mk.ROWS) * mk.ROWS)
                 if new_rows < cur_rows:
                     # tail lanes are all dead (live lanes are a prefix after
                     # the sort): bank their final radiance, then drop them
@@ -290,6 +332,9 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
                     hit_fn, dev_args = get_hit(cur_rows)
                     step = _get_step(treedef, hit_fn, cur_rows, lo_t,
                                      inv_t, sort)
+                    step_ns = (_get_step(treedef, hit_fn, cur_rows, lo_t,
+                                         inv_t, False)
+                               if sort and sort_every > 1 else step)
         nrays_total += float(nrays)
         if exact:
             acc = acc + _unsort_reduce(state[13], state[14], state[15],

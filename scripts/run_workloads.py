@@ -39,6 +39,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, nargs="*", default=list(range(9)))
     ap.add_argument("--scale-spp", type=float, default=1.0)
+    ap.add_argument("--scene8-spp", type=int, default=None,
+                    help="spp override for final_scene only (the full 8192 "
+                         "is a ~2 h run; a reduced-spp row measures the "
+                         "same sustained rate and is marked as such)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -61,6 +65,10 @@ def main():
     for idx in args.scenes:
         name, spp, depth = WORKLOADS[idx]
         spp = max(1, int(spp * args.scale_spp))
+        spp_note = None
+        if idx == 8 and args.scene8_spp:
+            spp_note = f"sustained-rate row at {args.scene8_spp}spp of 8192"
+            spp = args.scene8_spp
         b, settings = builders.build_scene(idx)
         settings = dataclasses.replace(settings, samples_per_pixel=spp,
                                        max_depth=depth)
@@ -73,7 +81,7 @@ def main():
         # hours-scale final_scene workload we skip the duplicate run: its
         # dispatch is chunked over many pallas_calls, so the one compile
         # amortizes inside the measurement (noted per row).
-        warmed = idx != 8
+        warmed = idx != 8 or args.scene8_spp is not None
         if warmed:
             render(scene, camera, seed=0, spp=spp, max_depth=depth)
         t0 = time.perf_counter()
@@ -84,6 +92,8 @@ def main():
                "workload": f"{w}x{h}@{spp}spp d{depth}",
                "seconds": round(dt, 2), "traced_mrays_per_sec": round(mrays, 1),
                "rays": int(stats.rays), "compile_excluded": warmed}
+        if spp_note:
+            row["note"] = spp_note
         results["rows"].append(row)
         print(f"    {dt:.2f}s  {mrays:.1f} Mrays/s", flush=True)
         write_png(os.path.join(art, f"{name}_tpu.png"), img)

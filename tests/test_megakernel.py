@@ -93,7 +93,13 @@ def test_earth_mip_error_bounded():
     full-resolution sampler: image-space error gate. Measured on this
     workload: MAD 0.0028, max 0.082, mean ratio 1.0005 — the gate asserts
     3x headroom so real regressions (wrong mip level, UV polynomial breakage)
-    fail while the documented approximation passes."""
+    fail while the documented approximation passes.
+
+    NOTE (round 4): the PRODUCTION path for image scenes is deferred shading
+    (renderer.render_deferred) whose image sampling is full-resolution and
+    BITWISE equal to the XLA estimator (test_deferred_render_bitwise_equals
+    _direct) — this mip gate now covers only the explicitly-requested fused
+    kernel (render_fast / use_megakernel=True)."""
     b, settings = builders.earth()
     settings = dataclasses.replace(settings, image_width=32,
                                    samples_per_pixel=32, max_depth=4)
