@@ -398,9 +398,13 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
         loss, vjp_loss = jax.vjp(lambda im: loss_fn(im, pixel_ids), img_flat)
         (g_img,) = vjp_loss(jnp.ones_like(loss))
 
-    # ---- pass 2: accumulate per-slice VJPs (+ image primal when linear)
+    # ---- pass 2: accumulate per-slice VJPs (+ image primal when linear).
+    # The ray count stays a DEVICE scalar until the end: a float(nr) pull
+    # per slice is a full tunnel round trip (~5-25 ms) that stalls the
+    # async dispatch pipeline between slices (measured ~6% of the whole
+    # contract fwd+bwd at 600x600@200spp's 9 slices).
     grads = None
-    nrays = 0.0
+    nrays_parts = []
     img_acc = None
     for c0 in range(0, spp, spp_chunk):
         k = min(spp_chunk, spp - c0)
@@ -411,13 +415,14 @@ def _chunked_recorder_vag(scene, camera, loss_fn, seed, spp, max_depth,
         img_k, nr, dg = _chunk_vjp(diff, frozen, treedef, is_diff, cam,
                                    pixel_ids, seed_arr, recs, ct,
                                    jnp.int32(c0), spp=k, max_depth=max_depth)
-        nrays += float(nr)
+        nrays_parts.append(nr)
         grads = dg if grads is None else [a + b for a, b in zip(grads, dg)]
         if linear_loss:
             w_img = img_k * (k / spp)
             img_acc = w_img if img_acc is None else img_acc + w_img
     if linear_loss:
         loss = loss_fn(img_acc, pixel_ids)
+    nrays = float(jnp.sum(jnp.stack(nrays_parts)))
     return loss, nrays, grads
 
 

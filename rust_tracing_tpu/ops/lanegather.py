@@ -78,6 +78,72 @@ def supported(n: int, r: int) -> bool:
             and r >= LANE_GATHER_MIN_R)
 
 
+# ------------------------------------------------------- multi-column gather
+def _kernel_cols(tab_ref, idx_ref, out_ref, *, C, K, skip):
+    """Gather K same-index columns in one pass: the index tile is read once,
+    each chunk's local-index/mask math is computed once, and (with ``skip``)
+    chunks outside the tile's [min, max] index range are branched over
+    entirely — after the wavefront's coherence sort a tile's indices cluster
+    into 1-2 of the table's ceil(N/128) chunks, so the chunk scan collapses
+    from C passes to the occupied few."""
+    idx = idx_ref[...]
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    if skip:
+        mn = jnp.min(idx) // LANES
+        mx = jnp.max(idx) // LANES
+    for c in range(C):
+        def body(c=c):
+            local = idx - c * LANES
+            m = (local >= 0) & (local < LANES)
+            lidx = jnp.clip(local, 0, LANES - 1)
+            for k in range(K):
+                g = jnp.take_along_axis(tab_ref[k, c], lidx, axis=1)
+                out_ref[k] = jnp.where(m, g, out_ref[k])
+        if skip:
+            pl.when((c >= mn) & (c <= mx))(body)
+        else:
+            body()
+
+
+@functools.lru_cache(maxsize=64)
+def _get_call_cols(C: int, K: int, n_tiles: int, dtype_name: str,
+                   skip: bool):
+    dtype = jnp.dtype(dtype_name)
+    return pl.pallas_call(
+        functools.partial(_kernel_cols, C=C, K=K, skip=skip),
+        out_shape=jax.ShapeDtypeStruct((K, n_tiles * ROWS, LANES), dtype),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((K, ROWS, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def lane_gather_cols(tab, idx, skip: bool = True):
+    """``tab[:, idx]`` for a (K, N) packed column table: one Pallas dispatch,
+    one index read, K gathered outputs (K, *idx.shape). Caller checks
+    :func:`supported` on (N, idx.size)."""
+    K, n = tab.shape
+    C = max(1, -(-n // LANES))
+    shape = idx.shape
+    idx_f = idx.reshape(-1).astype(jnp.int32)
+    R = idx_f.shape[0]
+    n_tiles = -(-R // TILE)
+    pad_r = n_tiles * TILE - R
+    if pad_r:
+        idx_f = jnp.concatenate([idx_f, jnp.zeros(pad_r, jnp.int32)])
+    pad_n = C * LANES - n
+    tab_p = jnp.concatenate(
+        [tab, jnp.zeros((K, pad_n), tab.dtype)], axis=1) if pad_n else tab
+    tiles = jnp.broadcast_to(tab_p.reshape(K, C, 1, LANES),
+                             (K, C, ROWS, LANES))
+    out = _get_call_cols(C, K, n_tiles, str(tab.dtype), skip)(
+        tiles, idx_f.reshape(n_tiles * ROWS, LANES))
+    return out.reshape(K, -1)[:, :R].reshape((K,) + shape)
+
+
 def lane_gather(col, idx):
     """``col[idx]`` via the Pallas lane-gather (caller checks
     :func:`supported`). ``col`` 1-D (any f32/i32-class dtype), ``idx`` any

@@ -37,7 +37,7 @@ from ..config import T_MIN
 from . import hashrng, intersect
 from . import linalg as la
 from .materials import scatter_and_emit, scatter_and_emit_c
-from .tgather import tgather
+from .tgather import tgather, tgather_group
 
 KIND_MISS = 0
 KIND_SPHERE = 1
@@ -199,16 +199,21 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
     # statically pruned when the scene has no spheres (cornell: the whole
     # quadratic + normal + UV subgraph AND its transpose disappear)
     if scene.has_spheres:
-        cwx = (tgather(scene.sph_center[:, 0], i_sph)
-               + tgather(scene.sph_cvec[:, 0], i_sph) * time)
-        cwy = (tgather(scene.sph_center[:, 1], i_sph)
-               + tgather(scene.sph_cvec[:, 1], i_sph) * time)
-        cwz = (tgather(scene.sph_center[:, 2], i_sph)
-               + tgather(scene.sph_cvec[:, 2], i_sph) * time)
+        # one packed gather for every sphere column (incl. the material id
+        # as an exactly-representable f32): ONE index pass instead of 9
+        c0x, c0y, c0z, cvx, cvy, cvz, r_s, mat_sph_f = tgather_group(
+            (scene.sph_center[:, 0], scene.sph_center[:, 1],
+             scene.sph_center[:, 2], scene.sph_cvec[:, 0],
+             scene.sph_cvec[:, 1], scene.sph_cvec[:, 2],
+             scene.sph_radius,
+             jax.lax.stop_gradient(scene.sph_mat.astype(jnp.float32))),
+            i_sph)
+        cwx = c0x + cvx * time
+        cwy = c0y + cvy * time
+        cwz = c0z + cvz * time
         ocx, ocy, ocz = ox - cwx, oy - cwy, oz - cwz
         hb = ocx * dx + ocy * dy + ocz * dz
-        cq = (ocx * ocx + ocy * ocy + ocz * ocz
-              - tgather(scene.sph_radius, i_sph) ** 2)
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - r_s ** 2
         disc = hb * hb - a * cq
         sq = intersect._safe_sqrt(disc, is_sph & (disc > 0))
         r1 = intersect._safe_div(-hb - sq, a)
@@ -216,30 +221,27 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
         t_s = jnp.where(r1 > T_MIN, r1, r2)
     else:
         cwx = cwy = cwz = zero
+        r_s = zero
         t_s = zero
 
     # --- quad winner t, alpha, beta (quad.rs:96-133); pruned likewise
     if scene.has_quads:
         normal_all, d_plane, w_all = scene.quad_frame()
-        nwx = tgather(normal_all[:, 0], i_quad)
-        nwy = tgather(normal_all[:, 1], i_quad)
-        nwz = tgather(normal_all[:, 2], i_quad)
+        (nwx, nwy, nwz, dpl, qqx, qqy, qqz, qux, quy, quz,
+         qvx, qvy, qvz, wx, wy, wz, mat_quad_f) = tgather_group(
+            (normal_all[:, 0], normal_all[:, 1], normal_all[:, 2], d_plane,
+             scene.quad_q[:, 0], scene.quad_q[:, 1], scene.quad_q[:, 2],
+             scene.quad_u[:, 0], scene.quad_u[:, 1], scene.quad_u[:, 2],
+             scene.quad_v[:, 0], scene.quad_v[:, 1], scene.quad_v[:, 2],
+             w_all[:, 0], w_all[:, 1], w_all[:, 2],
+             jax.lax.stop_gradient(scene.quad_mat.astype(jnp.float32))),
+            i_quad)
         denw = nwx * dx + nwy * dy + nwz * dz
         t_q = intersect._safe_div(
-            tgather(d_plane, i_quad) - (nwx * ox + nwy * oy + nwz * oz),
-            denw)
-        plx = ox + t_q * dx - tgather(scene.quad_q[:, 0], i_quad)
-        ply = oy + t_q * dy - tgather(scene.quad_q[:, 1], i_quad)
-        plz = oz + t_q * dz - tgather(scene.quad_q[:, 2], i_quad)
-        qux = tgather(scene.quad_u[:, 0], i_quad)
-        quy = tgather(scene.quad_u[:, 1], i_quad)
-        quz = tgather(scene.quad_u[:, 2], i_quad)
-        qvx = tgather(scene.quad_v[:, 0], i_quad)
-        qvy = tgather(scene.quad_v[:, 1], i_quad)
-        qvz = tgather(scene.quad_v[:, 2], i_quad)
-        wx = tgather(w_all[:, 0], i_quad)
-        wy = tgather(w_all[:, 1], i_quad)
-        wz = tgather(w_all[:, 2], i_quad)
+            dpl - (nwx * ox + nwy * oy + nwz * oz), denw)
+        plx = ox + t_q * dx - qqx
+        ply = oy + t_q * dy - qqy
+        plz = oz + t_q * dz - qqz
         alpha = (wx * (ply * qvz - plz * qvy) + wy * (plz * qvx - plx * qvz)
                  + wz * (plx * qvy - ply * qvx))
         beta = (wx * (quy * plz - quz * ply) + wy * (quz * plx - qux * plz)
@@ -247,6 +249,7 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
     else:
         nwx = nwy = nwz = zero
         t_q = alpha = beta = zero
+        mat_quad_f = zero
 
     # --- medium winner t (constant_medium.rs:34-71, recorded medium only);
     # statically pruned for media-free scenes (no medium is ever recorded)
@@ -262,7 +265,7 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
     if scene.has_spheres:
         # division (not reciprocal-multiply): bitwise-matches the direct
         # path's assemble_hit (intersect.py) for the replay==direct tests
-        r_best = jnp.maximum(tgather(scene.sph_radius, i_sph), 1e-12)
+        r_best = jnp.maximum(r_s, 1e-12)
         sox = (px - cwx) / r_best
         soy = (py - cwy) / r_best
         soz = (pz - cwz) / r_best
@@ -280,9 +283,10 @@ def hit_from_record_c(scene, ox, oy, oz, dx, dy, dz, time, rngb,
 
     u = jnp.where(is_sph, sph_u, jnp.where(is_quad, alpha, 0.0))
     v = jnp.where(is_sph, sph_v, jnp.where(is_quad, beta, 0.0))
-    # int lookups via tgather (Pallas lane gather on TPU; ops/lanegather.py)
-    mat_sph = tgather(scene.sph_mat, i_sph) if scene.has_spheres else i_sph
-    mat_quad = tgather(scene.quad_mat, i_quad) if scene.has_quads else i_quad
+    # material ids rode the packed gathers as exactly-representable f32
+    # (ids < 2^24); round-trip is exact
+    mat_sph = (mat_sph_f.astype(jnp.int32) if scene.has_spheres else i_sph)
+    mat_quad = (mat_quad_f.astype(jnp.int32) if scene.has_quads else i_quad)
     mat_id = jnp.where(
         is_med, tgather(scene.med_mat, med_idx),
         jnp.where(is_sph, mat_sph, mat_quad),

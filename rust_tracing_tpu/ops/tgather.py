@@ -165,3 +165,113 @@ def tgather(col, idx):
     dense/segment reduce)."""
     col, idx = standard_insert_pvary(col, idx)
     return tgather_p.bind(col, idx)
+
+
+# ------------------------------------------------------- multi-column gather
+# ``tab[:, idx]`` for a (K, N) packed table: K same-index lookups in ONE op.
+# On TPU this lowers to a single Pallas dispatch (ops/lanegather.py
+# lane_gather_cols) that reads the index vector once, computes each chunk's
+# local-index mask once, and skips chunks a tile's indices never touch —
+# replay's hit reconstruction on final_scene issues ~8 sphere + ~16 quad
+# same-index gathers per bounce, so batching them collapses ~24 kernel
+# dispatches (each re-reading the multi-MB index vector) into 2.
+
+tgather_cols_p = jex_core.Primitive("tgather_cols")
+
+
+def _tgcols_impl(tab, idx):
+    return tab[:, idx]
+
+
+def _tgcols_abstract(tab, idx):
+    vma = standard_vma_rule("tgather_cols", tab, idx)
+    return idx.update(shape=(tab.shape[0],) + idx.shape, dtype=tab.dtype,
+                      vma=vma, weak_type=False)
+
+
+def _tgcols_tpu(tab, idx):
+    from . import lanegather
+
+    if lanegather.supported(tab.shape[1], idx.size):
+        return lanegather.lane_gather_cols(tab, idx)
+    return tab[:, idx]
+
+
+tgather_cols_p.def_impl(_tgcols_impl)
+tgather_cols_p.def_abstract_eval(_tgcols_abstract)
+mlir.register_lowering(
+    tgather_cols_p, mlir.lower_fun(_tgcols_impl, multiple_results=False))
+mlir.register_lowering(
+    tgather_cols_p, mlir.lower_fun(_tgcols_tpu, multiple_results=False),
+    platform="tpu")
+
+
+def _tgcols_jvp(primals, tangents):
+    tab, idx = primals
+    dtab, _ = tangents
+    out = tgather_cols_p.bind(tab, idx)
+    if type(dtab) is ad.Zero:
+        dout = ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    else:
+        dtab, idx_t = standard_insert_pvary(dtab, idx)
+        dout = tgather_cols_p.bind(dtab, idx_t)
+    return out, dout
+
+
+ad.primitive_jvps[tgather_cols_p] = _tgcols_jvp
+
+
+def _tgcols_transpose(ct, tab, idx):
+    # linear in tab; per-column reduce — identical cost to K tgather
+    # transposes (the forward dispatch fusion is where the win is)
+    if type(ct) is ad.Zero:
+        return ad.Zero(tab.aval), None
+    K, n = tab.aval.shape
+    d_tab = jnp.stack([_reduce_cotangent(ct[k], idx, n) for k in range(K)])
+    return d_tab.astype(tab.aval.dtype), None
+
+
+ad.primitive_transposes[tgather_cols_p] = _tgcols_transpose
+
+
+def _tgcols_batch(args, dims):
+    tab, idx = args
+    dtab, didx = dims
+    if dtab is batching.not_mapped:
+        out = tgather_cols_p.bind(*standard_insert_pvary(tab, idx))
+        return out, None if didx is batching.not_mapped else didx + 1
+    # batched table (jacfwd tangents): plain indexing off the hot path
+    tab2 = jnp.moveaxis(tab, dtab, 0)
+    if didx is batching.not_mapped:
+        return tab2[:, :, idx], 0
+    idx2 = jnp.moveaxis(idx, didx, 0)
+    out = jnp.stack([tab2[b][:, idx2[b]] for b in range(tab2.shape[0])])
+    return out, 0
+
+
+batching.primitive_batchers[tgather_cols_p] = _tgcols_batch
+
+
+def tgather_cols(cols, idx):
+    """Gather ``len(cols)`` same-length 1-D tables at one shared index
+    vector; returns a tuple of per-column results (each ``idx.shape``).
+    Differentiable w.r.t. every column in both modes, like :func:`tgather`.
+    """
+    tab = jnp.stack(cols)
+    tab, idx = standard_insert_pvary(tab, idx)
+    out = tgather_cols_p.bind(tab, idx)
+    return tuple(out[k] for k in range(len(cols)))
+
+
+def tgather_group(cols, idx):
+    """``tuple(col[idx] for col in cols)`` choosing the packed multi-column
+    op when the table is big enough that per-column gathers would each pay a
+    lane-gather dispatch (the hot case: replay hit reconstruction on
+    thousand-prim scenes), else per-column :func:`tgather` (small tables:
+    XLA's fused gather wins and the pack would only add a stack)."""
+    from . import lanegather
+
+    n = cols[0].shape[0]
+    if len(cols) > 1 and lanegather.supported(n, idx.size):
+        return tgather_cols(cols, idx)
+    return tuple(tgather(c, idx) for c in cols)
