@@ -29,6 +29,27 @@ from .camera import Camera, CameraConstants, get_rays
 from .ops import integrator
 
 
+def _sum_samples(rad, k: int, C: int):
+    """Sum a flattened (k*C, 3) radiance batch over its k samples with a
+    STRICTLY SEQUENTIAL association: s0 + s1 + ... + s_{k-1}.
+
+    A ``rad.reshape(k, C, 3).sum(0)`` leaves the association to XLA, and the
+    chosen order turned out to be fusion-context-dependent: the identical
+    reduce lowered with different accumulation orders inside the replay
+    pipeline's jit versus the direct estimator's, breaking the replay ==
+    direct bitwise contract by 1 ulp on deep scenes (round-4 regression,
+    caught by tests/test_megakernel.py::test_deferred_render_bitwise...).
+    A fori_loop of per-sample adds cannot be reassociated by any compiler
+    pass, so every estimator (direct, replay, wavefront, megakernel — the
+    kernel's on-chip sample scan is sequential by construction) shares ONE
+    deterministic association."""
+    rad = rad.reshape(k, C, 3)
+    if k == 1:
+        return rad[0]
+    return jax.lax.fori_loop(
+        1, k, lambda i, acc: acc + rad[i], rad[0])
+
+
 def _chunked_mean(scene, pixel_ids, spp: int, sample_chunk: int, dtype,
                   chunk_rad):
     """Shared sample-flattening driver for both grad pipelines: samples are
@@ -92,7 +113,7 @@ def radiance_mean_rays(scene, cam: CameraConstants, pixel_ids, seed, spp: int,
         rad, nb = integrator.trace(scene_, o, d, t, (seed, pix, samp),
                                    max_depth, closest_hit_fn=hit_fn,
                                    remat=remat)
-        return (rad.reshape(k, C, 3).sum(0),
+        return (_sum_samples(rad, k, C),
                 jnp.sum(nb).astype(jnp.float32))
 
     return _chunked_mean(scene, pixel_ids, spp, sample_chunk, dtype,
@@ -155,7 +176,7 @@ def radiance_mean_replay_rays(scene, cam: CameraConstants, pixel_ids, seed,
         recs = recs.reshape(max_depth, k * C)
         rad, nb = replay_mod.trace_replay(scene_, o, d, t, (seed, pix, samp),
                                           recs, max_depth, remat=True)
-        return (rad.reshape(k, C, 3).sum(0),
+        return (_sum_samples(rad, k, C),
                 jnp.sum(nb).astype(jnp.float32))
 
     return _chunked_mean(scene, pixel_ids, spp, sample_chunk, dtype,

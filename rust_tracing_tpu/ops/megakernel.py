@@ -99,7 +99,7 @@ class _PackedScene:
     tex_tab: np.ndarray  # (7,Ct,8,128) type even odd rgb_r rgb_g rgb_b inv_scale
     tex_extra: np.ndarray  # (Ct? ) — noise_scale folded into tex_tab? see below
     bvh_f: np.ndarray   # (N,6) min(3) max(3)
-    bvh_i: np.ndarray   # (N,3) skip start count  (count==0 -> interior)
+    bvh_i: np.ndarray   # (N,4) skip start count scount (count==0 -> interior)
     prim_i: np.ndarray  # (P,2) ptype pidx  (leaf-order primitive stream)
     background: np.ndarray
     n_mat_chunks: int
@@ -203,11 +203,12 @@ def pack_scene(scene, bvh=None) -> _PackedScene:
 
     if bvh is not None:
         bvh_f = np.concatenate([bvh.node_min, bvh.node_max], -1).astype(np.float32)
-        bvh_i = np.stack([bvh.skip, bvh.leaf_start, bvh.leaf_count], -1).astype(np.int32)
+        bvh_i = np.stack([bvh.skip, bvh.leaf_start, bvh.leaf_count,
+                          bvh.leaf_scount], -1).astype(np.int32)
         prim_i = bvh.prim_stream.astype(np.int32)
     else:
         bvh_f = np.zeros((1, 6), np.float32)
-        bvh_i = np.zeros((1, 3), np.int32)
+        bvh_i = np.zeros((1, 4), np.int32)
         prim_i = np.zeros((1, 2), np.int32)
 
     # image texture: box-filter mip to <= IMG_MAX_TEXELS, lane-gather chunks
@@ -247,7 +248,8 @@ class _KernelBVH:
     skip: np.ndarray       # (N,)
     leaf_start: np.ndarray  # (N,)
     leaf_count: np.ndarray  # (N,) 0 for interior
-    prim_stream: np.ndarray  # (P,2) ptype pidx in leaf order
+    leaf_scount: np.ndarray  # (N,) leading sphere count of the leaf run
+    prim_stream: np.ndarray  # (P,2) ptype pidx, leaf order, spheres first
 
 
 def build_kernel_bvh(scene, leaf_size: Optional[int] = None, seed: int = 0,
@@ -289,12 +291,13 @@ def build_kernel_bvh(scene, leaf_size: Optional[int] = None, seed: int = 0,
         return None
     rng = np.random.default_rng(seed)
 
-    node_min, node_max, skip, lstart, lcount = [], [], [], [], []
+    node_min, node_max, skip, lstart, lcount, lscount = [], [], [], [], [], []
     stream = []
 
-    def emit(lo, hi, start, count):
+    def emit(lo, hi, start, count, scount=0):
         node_min.append(lo); node_max.append(hi)
         skip.append(-1); lstart.append(start); lcount.append(count)
+        lscount.append(scount)
         return len(skip) - 1
 
     import sys
@@ -305,9 +308,16 @@ def build_kernel_bvh(scene, leaf_size: Optional[int] = None, seed: int = 0,
         lo = box_min[order].min(0)
         hi = box_max[order].max(0)
         if len(order) <= leaf_size:
+            # spheres first, quads after (stable within each type): the walk
+            # then runs two TYPED prim loops with zero per-prim lax.cond —
+            # the per-prim scalar branch was the dominant walk cost on
+            # leaf-heavy scenes (hundreds of scalar-core branches per tile)
             start = len(stream)
-            stream.extend((int(ptype[p]), int(pidx[p])) for p in order)
-            return emit(lo, hi, start, len(order))
+            sph = [p for p in order if ptype[p] == 0]
+            qds = [p for p in order if ptype[p] != 0]
+            stream.extend((0, int(pidx[p])) for p in sph)
+            stream.extend((1, int(pidx[p])) for p in qds)
+            return emit(lo, hi, start, len(order), len(sph))
         me = emit(lo, hi, 0, 0)
         if axis_mode == "random":
             axis = int(rng.integers(0, 3))  # bvh.rs:32
@@ -333,6 +343,7 @@ def build_kernel_bvh(scene, leaf_size: Optional[int] = None, seed: int = 0,
         skip=skip_arr.astype(np.int32),
         leaf_start=np.asarray(lstart, np.int32),
         leaf_count=np.asarray(lcount, np.int32),
+        leaf_scount=np.asarray(lscount, np.int32),
         prim_stream=np.asarray(stream, np.int32).reshape(-1, 2),
     )
 
@@ -545,7 +556,7 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
         medf = lambda i, k: med_f[i * 24 + k]
         medi = lambda i, k: med_i[i * 2 + k]
         bvhf = lambda i, k: bvh_f[i * 6 + k]
-        bvhi = lambda i, k: bvh_i[i * 3 + k]
+        bvhi = lambda i, k: bvh_i[i * 4 + k]
         primi = lambda i, k: prim_i[i * 2 + k]
         seed_val = seed_ref[0]
         shape = (ROWS, LANES)
@@ -715,11 +726,14 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
                 inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
                 inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
 
-                def prim_one(p, st_):
-                    return jax.lax.cond(primi(p, 0) == 0,
-                                        lambda s: sphere_test(primi(p, 1), s),
-                                        lambda s: quad_test(primi(p, 1), s),
-                                        st_)
+                # leaf runs store spheres first, quads after: two TYPED
+                # loops, no per-prim lax.cond (the scalar branch per prim
+                # was the dominant walk cost on leaf-heavy scenes)
+                def prim_sph(p, st_):
+                    return sphere_test(primi(p, 1), st_)
+
+                def prim_quad(p, st_):
+                    return quad_test(primi(p, 1), st_)
 
                 def walk_cond(wst):
                     ptr, _ = wst
@@ -747,8 +761,11 @@ def _make_kernel(cam, width, height, spp, max_depth, dims, flags, med_types,
 
                     def do_leaf(s):
                         start = bvhi(ptr, 1)
-                        return jax.lax.fori_loop(start, start + count,
-                                                 prim_one, s)
+                        scount = bvhi(ptr, 3)
+                        s = jax.lax.fori_loop(start, start + scount,
+                                              prim_sph, s)
+                        return jax.lax.fori_loop(start + scount,
+                                                 start + count, prim_quad, s)
 
                     st_ = jax.lax.cond(any_hit & (count > 0), do_leaf,
                                        lambda s: s, st_)

@@ -21,14 +21,19 @@ which TPU lowers to a serial scalar loop nondeterministically
 (ops/lanegather.py).
 
 RNG is addressed by the (pixel, sample) ids RIDING with each lane —
-permutations never change any random stream. With ``exact=True`` (default
-for tests/small scenes) compaction is disabled and each lane's radiance is
-un-permuted to its original slot before the same (k, C).sum(0) reduction the
-direct estimator uses, so the result is BITWISE EQUAL to
-grad.radiance_mean_rays regardless of sort order (tests/test_wavefront.py).
-Production big-scene renders use ``exact=False``: identical per-path
-radiance, per-pixel sums accumulated by segment reduction (float-sum
-association differs; values equal to float tolerance).
+permutations never change any random stream. ``exact=True`` (the default,
+including production big-scene renders): a lane's radiance is finished
+per-path arithmetic wherever its buffer lives, dropped tails RETAIN their
+final radiance, and every lane rejoins one original-order (k, C).sum(0)
+reduction at chunk end — the result is BITWISE EQUAL to
+grad.radiance_mean_rays regardless of sort order or compaction schedule
+(tests/test_wavefront.py). ``exact=False`` banks dropped tails per pixel by
+segment reduction as they die: identical per-path radiance, float-sum
+association differs (values equal to float tolerance).
+
+Bounces run in fused SEGMENTS of ``SEG_BOUNCES``: one jitted dispatch per
+segment (sort -> Pallas hit -> XLA shade, repeated), so XLA fuses across
+bounce boundaries and the host live-count sync happens once per segment.
 
 This is the TPU-native answer to the reference's per-ray recursive traversal
 (bvh.rs:91-112): the CPU gets divergence for free from independent call
@@ -61,11 +66,19 @@ WAVEFRONT_LANE_BUDGET = 1 << 22
 WAVEFRONT_PRIM_THRESHOLD = 1024
 
 # Compact (drop the dead tail) when the live fraction falls below this.
-# Buffer sizes shrink in /4 steps so each chunk compiles at most ~4 hit
-# kernel + step sizes (a final_scene hit-kernel compile is ~1 min; pow2
-# halving burned >8 compiles on the first render).
-COMPACT_BELOW = 0.2
-COMPACT_STEP = 4
+# Buffer sizes shrink in /2 steps (halving ladder): every surviving bounce
+# then runs at >= 50% occupancy instead of the round-4 /4 ladder's >= 25%.
+# The extra compilations are bounded (one hit kernel + segment per ladder
+# rung, cached across spp chunks) and pay for themselves within one
+# production chunk.
+COMPACT_BELOW = 0.4
+COMPACT_STEP = 2
+
+# Bounces fused into ONE jitted dispatch: XLA fuses shade -> sort -> next
+# hit's operand prep across bounce boundaries instead of round-tripping the
+# 17-lane state through a host dispatch per bounce, and the host pulls the
+# live count once per segment (the ~24 ms tunnel round trip amortizes).
+SEG_BOUNCES = 4
 
 
 def _spread3(x):
@@ -127,72 +140,104 @@ def _scene_bounds(scene) -> Tuple[np.ndarray, np.ndarray]:
 _N_STATE = 17
 
 
-def _permute_state(key, state):
-    """Reorder the whole lane state by ``key``: a 2-operand sort yields the
-    permutation, then ONE row gather of the (R, 17) packed state moves the
-    data. (An 18-operand lax.sort made XLA inline the payload moves into the
-    bitonic network — the step took >9 min to COMPILE; 17 per-element
-    gathers hit the serial-gather path. A row gather does R element-loops of
-    68 B each — the cheap middle ground.) Integer lanes ride as f32: pixel,
-    sample, and lane ids are all < 2^24, exactly representable."""
-    R = key.shape[0]
+def _permute_state(key, state, n_pix, samp_base):
+    """Reorder the whole lane state by ``key`` with TWO stable multi-payload
+    ``lax.sort`` calls (key + <= 8 payloads each): the payload moves ride the
+    vectorized sort network. Measured at 2.56M lanes on v5e: 42 ms vs 87 ms
+    for argsort + one (R, 17) packed row gather (XLA row gathers run a
+    serial per-row loop) vs 613 ms for 17 per-column gathers. An 18-operand
+    single sort compiled for >9 min; two <=9-operand sorts of the SAME key
+    compile once (XLA dedupes the network) in ~4 min per buffer size.
+
+    ``pix`` and ``samp`` do not ride: they are functions of the original
+    lane id (pix = orig % n_pix, samp = samp_base + orig // n_pix — the
+    chunk lays lanes out pixel-major), so only 15 columns move. ``orig``
+    rides as f32 (lane ids < 2^24, exactly representable); both sorts are
+    stable on the same key, hence apply the identical permutation."""
+    s1 = jax.lax.sort(
+        (key, state[2].astype(jnp.float32), state[3], state[4], state[5],
+         state[6], state[7], state[8], state[9]), num_keys=1)
+    s2 = jax.lax.sort(
+        (key, state[10], state[11], state[12], state[13], state[14],
+         state[15], state[16].astype(jnp.float32)), num_keys=1)
+    orig = s1[1].astype(jnp.int32)
+    pix = orig % n_pix
+    samp = samp_base + orig // n_pix
+    return (pix, samp, orig) + s1[2:] + s2[1:7] + (s2[7] > 0.0,)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _permute_state_gather(key, state, n_pix, samp_base):
+    """Compaction-site permute: argsort + one (R, 15) packed row gather.
+    ~2x slower than :func:`_permute_state` but compiles in seconds — it runs
+    at most once per compaction (a handful per chunk), where another
+    minutes-long sort-network compile per ladder rung would never pay."""
     perm = jnp.argsort(key)
     packed = jnp.stack(
-        [state[0].astype(jnp.float32), state[1].astype(jnp.float32),
-         state[2].astype(jnp.float32)] + list(state[3:16])
+        [state[2].astype(jnp.float32)] + list(state[3:16])
         + [state[16].astype(jnp.float32)], axis=1)
     packed = packed[perm]
-    out = ([packed[:, c].astype(jnp.int32) for c in range(3)]
-           + [packed[:, 3 + c] for c in range(13)]
-           + [packed[:, 16] > 0.0])
-    return tuple(out)
+    orig = packed[:, 0].astype(jnp.int32)
+    pix = orig % n_pix
+    samp = samp_base + orig // n_pix
+    return ((pix, samp, orig) + tuple(packed[:, 1 + c] for c in range(13))
+            + (packed[:, 14] > 0.0,))
 
 
-@functools.lru_cache(maxsize=96)
-def _get_step(treedef, hit_fn, n_rows, lo_t, inv_t, sort: bool):
-    """One cached jitted wavefront bounce: sort -> pallas hit -> XLA shade.
-    Keyed on the (config, buffer size) so repeated renders and compaction
-    buckets reuse compilations."""
+@functools.lru_cache(maxsize=256)
+def _get_seg(treedef, hit_fn, n_rows, lo_t, inv_t, sort_flags: tuple,
+             n_pix: int):
+    """A cached jitted wavefront SEGMENT: ``len(sort_flags)`` bounces of
+    [sort ->] pallas hit -> XLA shade fused into one dispatch. Keyed on the
+    (config, buffer size, per-bounce sort pattern) so repeated renders and
+    compaction buckets reuse compilations. Fusing bounces lets XLA overlap
+    the XLA shade/sort work across bounce boundaries and cuts the host
+    dispatch + live-count sync cadence to once per segment."""
 
-    def step(scene_leaves, dev_args, seed, depth_i, nrays, *state):
+    def seg(scene_leaves, dev_args, seed, depth0, samp_base, nrays, *state):
         scene = jax.tree_util.tree_unflatten(treedef, scene_leaves)
-        if sort:
-            key = _sort_key(state[3], state[4], state[5], state[6], state[7],
-                            state[8], state[16], lo_t, inv_t)
-            state = _permute_state(key, state)
-        (pix, samp, orig, ox, oy, oz, dx, dy, dz, rtime,
-         tr, tg, tb, rr, rg, rb, alive) = state
+        for j, do_sort in enumerate(sort_flags):
+            depth_i = depth0 + j
+            if do_sort:
+                key = _sort_key(state[3], state[4], state[5], state[6],
+                                state[7], state[8], state[16], lo_t, inv_t)
+                state = _permute_state(key, state, n_pix, samp_base)
+            (pix, samp, orig, ox, oy, oz, dx, dy, dz, rtime,
+             tr, tg, tb, rr, rg, rb, alive) = state
 
-        blk = lambda a: a.reshape(n_rows, mk.LANES)
-        scal = jnp.stack([seed.astype(jnp.int32), depth_i, jnp.int32(0)])
-        (rec_blk,) = hit_fn(*dev_args, scal,
-                            blk(ox), blk(oy), blk(oz),
-                            blk(dx), blk(dy), blk(dz), blk(rtime),
-                            blk(pix), blk(samp),
-                            blk(alive.astype(jnp.float32)))
-        rec = rec_blk.reshape(-1)
+            blk = lambda a: a.reshape(n_rows, mk.LANES)
+            scal = jnp.stack([seed.astype(jnp.int32), depth_i, jnp.int32(0)])
+            (rec_blk,) = hit_fn(*dev_args, scal,
+                                blk(ox), blk(oy), blk(oz),
+                                blk(dx), blk(dy), blk(dz), blk(rtime),
+                                blk(pix), blk(samp),
+                                blk(alive.astype(jnp.float32)))
+            rec = rec_blk.reshape(-1)
 
-        rngb = hashrng.CounterRng(seed, pix, samp, depth_i)
-        nrays = nrays + jnp.sum(alive.astype(jnp.float32))
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = \
-            replay_mod.bounce_c(scene, rngb, rec, ox, oy, oz, dx, dy, dz,
-                                rtime, tr, tg, tb, rr, rg, rb, alive)
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        return (nrays, n_alive) + (pix, samp, orig, ox, oy, oz, dx, dy, dz,
-                                   rtime, tr, tg, tb, rr, rg, rb, alive)
+            rngb = hashrng.CounterRng(seed, pix, samp, depth_i)
+            nrays = nrays + jnp.sum(alive.astype(jnp.float32))
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = \
+                replay_mod.bounce_c(scene, rngb, rec, ox, oy, oz, dx, dy, dz,
+                                    rtime, tr, tg, tb, rr, rg, rb, alive)
+            state = (pix, samp, orig, ox, oy, oz, dx, dy, dz, rtime,
+                     tr, tg, tb, rr, rg, rb, alive)
+        n_alive = jnp.sum(state[16].astype(jnp.int32))
+        return (nrays, n_alive) + state
 
-    return jax.jit(step)
+    return jax.jit(seg)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _unsort_reduce(rr, rg, rb, orig, R: int, k: int, n_pix: int):
     """Radiance back to original (sample, pixel) lane order (padding lanes
     dropped) via a payload sort on the original ids, then the SAME
-    (k, C).sum(0) reduction as the direct estimator — bitwise parity with
-    grad.radiance_mean_rays."""
+    strictly-sequential sample sum as the direct estimator
+    (grad._sum_samples) — bitwise parity with grad.radiance_mean_rays."""
+    from .. import grad as grad_mod
+
     _, rr2, rg2, rb2 = jax.lax.sort((orig, rr, rg, rb), num_keys=1)
     rad = jnp.stack([rr2[:R], rg2[:R], rb2[:R]], axis=-1)
-    return rad.reshape(k, n_pix, 3).sum(0)
+    return grad_mod._sum_samples(rad, k, n_pix)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -212,12 +257,14 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
     """Sorted deferred wavefront render -> ((H, W, 3) float64 linear image,
     RenderStats).
 
-    ``exact=True``: no compaction; result bitwise equal to the direct XLA
-    estimator at any ``sort`` setting (the sort only changes which rays
-    share a kernel tile). ``exact=False`` (production default on big
-    workloads): the dead tail is dropped when occupancy halves, banking its
-    radiance per pixel — identical per-path values, float-sum association
-    differs.
+    ``exact=True`` (default): result bitwise equal to the direct XLA
+    estimator at any ``sort`` setting — the sort only changes which rays
+    share a kernel tile, and COMPACTION keeps bitwise parity too: a dropped
+    lane's finished radiance is retained (not summed), every lane rejoins
+    the one deterministic original-order reduction at chunk end.
+    ``exact=False``: dropped tails bank per pixel by segment reduction as
+    they die — identical per-path values, float-sum association differs
+    (kept for the distributed banked accumulation path).
     """
     from ..renderer import RenderStats
 
@@ -236,7 +283,7 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
                 k = d
             break
     if exact is None:
-        exact = max_depth <= 8 and spp * n_pix <= WAVEFRONT_LANE_BUDGET
+        exact = True
     lo, inv_ext = _scene_bounds(scene)
     lo_t = tuple(float(x) for x in lo)
     inv_t = tuple(float(x) for x in inv_ext)
@@ -281,38 +328,49 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
         nrays = jnp.zeros((), jnp.float32)
         cur_rows = n_rows
         hit_fn, dev_args = get_hit(cur_rows)
-        step = _get_step(treedef, hit_fn, cur_rows, lo_t, inv_t, sort)
-        step_ns = (_get_step(treedef, hit_fn, cur_rows, lo_t, inv_t, False)
-                   if sort and sort_every > 1 else step)
         import os
         debug = bool(os.environ.get("RT_WF_DEBUG"))
-        for depth_i in range(max_depth):
-            s_fn = step if depth_i % sort_every == 0 else step_ns
-            out = s_fn(leaves, dev_args, seed_arr, jnp.int32(depth_i),
-                       nrays, *state)
+        # exact mode: dropped-at-compaction lanes keep their per-lane
+        # radiance here and rejoin the single original-order reduction at
+        # chunk end — compaction stays bitwise-invisible
+        dropped = []
+        samp_base = jnp.int32(sample_offset + c0)
+        depth_done = 0
+        while depth_done < max_depth:
+            # early bounces kill the most lanes (miss-to-background at
+            # bounce 1-2): short segments there compact sooner; the steady
+            # tail runs full segments
+            nb = 2 if depth_done < 4 else SEG_BOUNCES
+            nb = min(nb, max_depth - depth_done)
+            # bounce 0 needs no sort: camera rays arrive in pixel order,
+            # already coherent (sorting is a bitwise no-op, so skipping it
+            # is too)
+            flags = tuple(sort and (depth_done + j) % sort_every == 0
+                          and depth_done + j > 0 for j in range(nb))
+            seg = _get_seg(treedef, hit_fn, cur_rows, lo_t, inv_t, flags,
+                           n_pix)
+            out = seg(leaves, dev_args, seed_arr, jnp.int32(depth_done),
+                      samp_base, nrays, *state)
             nrays, n_alive, state = out[0], out[1], out[2:]
-            # host sync (~24 ms tunnel round trip) only every 4th bounce:
-            # pulling the live count per bounce cost ~70% of the whole
-            # final_scene wall time; between pulls the bounces pipeline
-            if (depth_i + 1) % 4 and depth_i + 1 < max_depth:
-                continue
+            depth_done += nb
+            if depth_done >= max_depth:
+                break
             na = int(n_alive)
             if debug:
-                print(f"  wf c0={c0} bounce={depth_i} rows={cur_rows} "
+                print(f"  wf c0={c0} depth={depth_done} rows={cur_rows} "
                       f"alive={na} t={_time.perf_counter() - t0:.1f}s",
                       flush=True)
             if na == 0:
                 break
             cur_lanes = cur_rows * mk.LANES
-            if (not exact) and sort and na < COMPACT_BELOW * cur_lanes \
+            if sort and na < COMPACT_BELOW * cur_lanes \
                     and cur_rows > mk.ROWS:
-                # next bounce starts with a sort; compact NOW instead: sort
-                # here, bank + drop the dead tail, and continue on the
-                # smaller buffer (live lanes are a prefix after the sort)
+                # sort here (dead lanes key to the end), drop the dead
+                # tail, and continue on the smaller buffer
                 key = _sort_key(state[3], state[4], state[5], state[6],
                                 state[7], state[8], state[16], lo_t, inv_t)
-                state = jax.jit(_permute_state)(key, state)
-                # /4-step buckets so compilations stay bounded: shrink while
+                state = _permute_state_gather(key, state, n_pix, samp_base)
+                # halving ladder so compilations stay bounded: shrink while
                 # the live set fits in the next bucket down
                 new_rows = cur_rows
                 while (new_rows > mk.ROWS
@@ -321,24 +379,32 @@ def render_sorted(scene, camera: Camera, seed: int = 0,
                 new_rows = max(mk.ROWS, -(-new_rows // mk.ROWS) * mk.ROWS)
                 if new_rows < cur_rows:
                     # tail lanes are all dead (live lanes are a prefix after
-                    # the sort): bank their final radiance, then drop them
+                    # the sort): retain (exact) or bank (banked) their final
+                    # radiance, then drop them
                     cut = new_rows * mk.LANES
-                    acc = acc + _bank_by_pixel(
-                        state[13][cut:], state[14][cut:], state[15][cut:],
-                        n_pix, state[0][cut:],
-                        jnp.ones(state[0].shape[0] - cut, bool))
+                    if exact:
+                        dropped.append((state[2][cut:], state[13][cut:],
+                                        state[14][cut:], state[15][cut:]))
+                    else:
+                        acc = acc + _bank_by_pixel(
+                            state[13][cut:], state[14][cut:], state[15][cut:],
+                            n_pix, state[0][cut:],
+                            jnp.ones(state[0].shape[0] - cut, bool))
                     state = tuple(a[:cut] for a in state)
                     cur_rows = new_rows
                     hit_fn, dev_args = get_hit(cur_rows)
-                    step = _get_step(treedef, hit_fn, cur_rows, lo_t,
-                                     inv_t, sort)
-                    step_ns = (_get_step(treedef, hit_fn, cur_rows, lo_t,
-                                         inv_t, False)
-                               if sort and sort_every > 1 else step)
         nrays_total += float(nrays)
         if exact:
-            acc = acc + _unsort_reduce(state[13], state[14], state[15],
-                                       state[2], R, kk, n_pix)
+            orig_all, rr_all, rg_all, rb_all = state[2], state[13], \
+                state[14], state[15]
+            if dropped:
+                parts = list(dropped) + [(orig_all, rr_all, rg_all, rb_all)]
+                orig_all = jnp.concatenate([p[0] for p in parts])
+                rr_all = jnp.concatenate([p[1] for p in parts])
+                rg_all = jnp.concatenate([p[2] for p in parts])
+                rb_all = jnp.concatenate([p[3] for p in parts])
+            acc = acc + _unsort_reduce(rr_all, rg_all, rb_all, orig_all,
+                                       R, kk, n_pix)
         else:
             acc = acc + _bank_by_pixel(state[13], state[14], state[15],
                                        n_pix, state[0],

@@ -74,6 +74,26 @@ def test_wavefront_compaction_matches():
     assert st.rays == int(float(nr))
 
 
+def test_wavefront_exact_compaction_bitwise(monkeypatch):
+    """exact=True WITH compaction: dropped lanes retain their radiance and
+    rejoin the one original-order reduction, so aggressive compaction is
+    bitwise-invisible. Forced by compacting whenever any lane is dead."""
+    scene, camera = _bvh_scene()
+    cam = camera.constants(jnp.float32)
+    monkeypatch.setattr(wavefront, "COMPACT_BELOW", 1.01)
+    monkeypatch.setattr(wavefront, "SEG_BOUNCES", 2)
+    img_c, st = wavefront.render_sorted(scene, camera, seed=3, max_depth=8,
+                                        interpret=True, use_bvh=True,
+                                        exact=True)
+    pid = jnp.arange(24 * 24, dtype=jnp.int32)
+    direct, nr = grad_mod.radiance_mean_rays(
+        scene, cam, pid, jnp.uint32(3), 4, 8, sample_chunk=4)
+    d = np.asarray(direct).reshape(24, 24, 3)
+    np.testing.assert_array_equal(np.asarray(img_c, np.float32),
+                                  np.asarray(d, np.float32))
+    assert st.rays == int(float(nr))
+
+
 def test_wavefront_spp_chunking_and_depth_exit():
     """Multi-chunk spp path + early exit when every lane dies before the
     depth budget (black background kills misses immediately)."""
